@@ -1,0 +1,152 @@
+"""Politeness scheduler (O1/O5/O6 [EXT]) — the priority queue as a DataFrame.
+
+Replaces the reference's FIFO RabbitMQ queue + prefetch backpressure
+(``orchestration/RabbitMqOrchestrationProvider.java:110-144``) with a
+deterministic rank-over-window selection.  The crawl-ordering contract
+(BASELINE.md): total order ``(priority, next_fetch_time, seq)`` — ``seq``
+reproduces reference FIFO when priorities tie, and the order is a pure
+function of the data, never of task scheduling, so `local[8]` and
+`local[32]` runs are bit-identical.
+
+Virtual-time politeness model (shared verbatim with the pure-Python
+oracle in oracle.py — this docstring IS the contract):
+
+- ``host = coalesce(hostname, ip)``; virtual clock starts at 0.0 and
+  advances by ``batch_period`` (default 10.0 s) per micro-batch.
+- robots rules (host, path_prefix, allow, crawl_delay): longest
+  path-prefix match per (host, url_path); an exact-host rule beats the
+  ``'*'`` wildcard. ``allow=false`` -> terminal status ROBOTS_BLOCKED.
+  ``crawl_delay`` defaults to 1.0 s.
+- a host is *eligible* when ``next_fetch_time <= clock`` (initially 0).
+- per-batch per-host budget = ``max(1, floor(batch_period / crawl_delay))``.
+- batch selection = ``row_number() over (partition by host order by
+  priority, seq) <= budget``.
+- after the batch, for each host that fetched k rows:
+  ``next_fetch_time = clock + k * crawl_delay``.
+
+Hot-host skew [north_rule]: the fetch stage repartitions on a *salted*
+key ``(host, pmod(xxhash64(url_canon), S))`` so one hot host spreads over
+S tasks; per-host state is re-aggregated unsalted afterwards (the groupBy
+below is on the bare host).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_BATCH_PERIOD = 10.0
+DEFAULT_CRAWL_DELAY = 1.0
+
+HOST_STATE_SCHEMA = "host: string, next_fetch_time: double, crawl_delay: double"
+
+
+def host_col() -> F.Column:
+    return F.coalesce(F.col("hostname"), F.col("ip"))
+
+
+def apply_robots(frontier: DataFrame, robots: DataFrame, url_path: str = "/") -> DataFrame:
+    """O6: longest-prefix-match robots rules -> adds (robots_allow, crawl_delay).
+
+    robots: (host, path_prefix, allow, crawl_delay); '*' matches any host but
+    loses to an exact host row; longer path_prefix wins within a host.
+    Broadcast join: the rules table is a small dimension.
+    """
+    fr = frontier.withColumn("host", host_col())
+    r = F.broadcast(
+        robots.select(
+            F.col("host").alias("_r_host"),
+            F.col("path_prefix").alias("_r_prefix"),
+            F.col("allow").alias("_r_allow"),
+            F.col("crawl_delay").alias("_r_delay"),
+        )
+    )
+    path = F.lit(url_path)
+    joined = fr.join(
+        r,
+        ((fr["host"] == r["_r_host"]) | (r["_r_host"] == "*"))
+        & path.startswith(r["_r_prefix"]),
+        "left",
+    )
+    # rank matches: exact host beats '*', then longest prefix
+    w = Window.partitionBy("job_id").orderBy(
+        F.when(F.col("_r_host") == "*", 1).otherwise(0),
+        F.length(F.col("_r_prefix")).desc(),
+    )
+    best = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .withColumn("robots_allow", F.coalesce(F.col("_r_allow"), F.lit(True)))
+        .withColumn(
+            "crawl_delay", F.coalesce(F.col("_r_delay"), F.lit(DEFAULT_CRAWL_DELAY))
+        )
+        .drop("_r_host", "_r_prefix", "_r_allow", "_r_delay", "_rn")
+    )
+    return best
+
+
+def select_batch(
+    frontier: DataFrame,
+    host_state: DataFrame,
+    clock: float,
+    batch_period: float = DEFAULT_BATCH_PERIOD,
+) -> DataFrame:
+    """O5+O1: eligibility filter + per-host budgeted rank-over-window.
+
+    frontier rows need: job_id, host, priority, seq, crawl_delay.
+    host_state: (host, next_fetch_time, crawl_delay).
+    Returns the selected batch with a ``deferred_count`` observable left to
+    the caller (eligible - selected), computed cheaply via counts.
+    """
+    hs = host_state.select(
+        F.col("host").alias("_hs_host"), F.col("next_fetch_time").alias("_nft")
+    )
+    eligible = (
+        frontier.join(hs, frontier["host"] == hs["_hs_host"], "left")
+        .withColumn("next_fetch_time", F.coalesce(F.col("_nft"), F.lit(0.0)))
+        .filter(F.col("next_fetch_time") <= F.lit(clock))
+        .drop("_hs_host", "_nft")
+    )
+    budget = F.greatest(
+        F.lit(1), F.floor(F.lit(batch_period) / F.col("crawl_delay"))
+    ).cast("int")
+    w = Window.partitionBy("host").orderBy("priority", "seq")
+    return (
+        eligible.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= budget)
+        .drop("_rn")
+    )
+
+
+def updated_host_state(
+    host_state: DataFrame,
+    fetched_batch: DataFrame,
+    clock: float,
+) -> DataFrame:
+    """MERGE-equivalent per-host state update: hosts that fetched k rows get
+    next_fetch_time = clock + k * crawl_delay. State stays tiny:
+    (host, next_fetch_time, crawl_delay)."""
+    served = fetched_batch.groupBy("host").agg(
+        F.count(F.lit(1)).alias("_k"), F.first("crawl_delay").alias("_delay")
+    )
+    hs = host_state.select(
+        "host", "next_fetch_time", F.col("crawl_delay").alias("_old_delay")
+    )
+    merged = hs.join(served, "host", "full")
+    return merged.select(
+        "host",
+        F.when(
+            F.col("_k").isNotNull(), F.lit(clock) + F.col("_k") * F.col("_delay")
+        )
+        .otherwise(F.col("next_fetch_time"))
+        .alias("next_fetch_time"),
+        F.coalesce(F.col("_delay"), F.col("_old_delay")).alias("crawl_delay"),
+    )
+
+
+def salted_repartition(df: DataFrame, salt_buckets: int = 8, partitions: int | None = None) -> DataFrame:
+    """Defuse hot-host skew before the fetch join (SURVEY.md §4 item 1)."""
+    salt = F.pmod(F.xxhash64(F.col("url_canon")), F.lit(salt_buckets))
+    if partitions:
+        return df.repartition(partitions, F.col("host"), salt)
+    return df.repartition(F.col("host"), salt)

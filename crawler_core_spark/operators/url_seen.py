@@ -1,0 +1,168 @@
+"""URL-seen set (A7/J7 [EXT]) — exact oracle path + partitioned-Bloom scale path.
+
+The reference dedups only implicitly (distinct target lists,
+``targetlist/TrancoEmailListProvider.java:63``); the north_rule mandates an
+explicit seen-set designed for a 10^10-URL frontier.
+
+Two interchangeable implementations behind one interface:
+
+- **ExactUrlSeen** — a keys table (url_key BIGINT). Probe = left join,
+  add = append of new keys.  This is the *correctness oracle* at test
+  scale and the semantics contract.
+- **BloomUrlSeen** — the *scale* mechanism: P hash-partitioned Bloom
+  filters persisted as ``(partition_id INT, bloom BINARY)``.  At 10^10
+  keys and ~12 bits/key the filter is ~15 GB total — never a single
+  broadcast object, but P=4096 partitions of ~4 MB each co-partitioned
+  with the keys (``pmod(xxhash64(url_canon), P)``) keep every probe/merge
+  a co-grouped, map-side-local operation: only 8-byte keys shuffle, never
+  image bytes, never the filter itself except its own P-way state.
+  Probes/merges are vectorized numpy inside cogrouped pandas UDFs.
+
+Property pinned by tests: the Bloom path has **no false negatives**
+(bloom-seen ⊇ exact-seen); false-positive rate is sized by bits/key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawler_core_spark.storage import TableStore
+
+KEYS_TABLE = "url_seen_keys"
+BLOOM_TABLE = "url_seen_bloom"
+
+_BLOOM_K = 7  # hash functions
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    return x ^ (x >> np.uint64(31))
+
+
+def _bit_positions(keys: np.ndarray, m_bits: int) -> np.ndarray:
+    """(n, K) bit positions for each key."""
+    u = keys.astype(np.uint64)
+    cols = []
+    for i in range(_BLOOM_K):
+        cols.append(_splitmix64(u + np.uint64(i * 0x9E3779B9)) % np.uint64(m_bits))
+    return np.stack(cols, axis=1)
+
+
+def _bloom_set(bloom: np.ndarray, keys: np.ndarray, m_bits: int) -> np.ndarray:
+    pos = _bit_positions(keys, m_bits).ravel()
+    np.bitwise_or.at(bloom, pos >> np.uint64(3), (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)))
+    return bloom
+
+
+def _bloom_test(bloom: np.ndarray, keys: np.ndarray, m_bits: int) -> np.ndarray:
+    pos = _bit_positions(keys, m_bits)
+    hits = (bloom[(pos >> np.uint64(3)).astype(np.int64)] >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+    return hits.all(axis=1)
+
+
+class ExactUrlSeen:
+    """Exact seen-set over a committed keys table."""
+
+    def __init__(self, store: TableStore):
+        self.store = store
+
+    def probe(self, df: DataFrame, key: str = "url_key") -> DataFrame:
+        """Append boolean ``seen`` column."""
+        if not self.store.exists(KEYS_TABLE):
+            return df.withColumn("seen", F.lit(False))
+        seen = self.store.read(KEYS_TABLE).select(
+            F.col("url_key").alias("_seen_key")
+        ).distinct().withColumn("_seen", F.lit(True))
+        return (
+            df.join(seen, df[key] == seen["_seen_key"], "left")
+            .withColumn("seen", F.coalesce(F.col("_seen"), F.lit(False)))
+            .drop("_seen_key", "_seen")
+        )
+
+    def stage_add(self, df: DataFrame, key: str = "url_key") -> tuple[str, tuple[str, str]]:
+        """Stage the key append; caller includes it in the batch commit."""
+        rel = self.store.stage(df.select(F.col(key).alias("url_key")).distinct(), KEYS_TABLE)
+        return KEYS_TABLE, ("append", rel)
+
+
+class BloomUrlSeen:
+    """Partitioned-Bloom seen-set. State: (partition_id INT, bloom BINARY)."""
+
+    def __init__(self, store: TableStore, partitions: int = 64, m_bits_per_partition: int = 1 << 20):
+        self.store = store
+        self.p = partitions
+        self.m = m_bits_per_partition
+
+    def _pid(self, key_col):
+        return F.pmod(key_col, F.lit(self.p)).cast("int")
+
+    def _state(self) -> DataFrame:
+        if self.store.exists(BLOOM_TABLE):
+            return self.store.read(BLOOM_TABLE)
+        return self.store.spark.createDataFrame([], "partition_id: int, bloom: binary")
+
+    def probe(self, df: DataFrame, key: str = "url_key") -> DataFrame:
+        m = self.m
+        in_cols = df.columns
+        keyed = df.withColumn("_pid", self._pid(F.col(key)))
+        state = self._state()
+        schema = df.schema.add("seen", "boolean")
+
+        def _probe(lk, cand, st):
+            if cand.empty:
+                return pd.DataFrame(columns=[f.name for f in schema.fields])
+            if st.empty:
+                out = cand.copy()
+                out["seen"] = False
+                return out.drop(columns=["_pid"])
+            bloom = np.frombuffer(st["bloom"].iloc[0], dtype=np.uint8)
+            out = cand.copy()
+            out["seen"] = _bloom_test(bloom, cand[key].to_numpy(), m)
+            return out.drop(columns=["_pid"])
+
+        return (
+            keyed.groupBy("_pid")
+            .cogroup(state.groupBy("partition_id"))
+            .applyInPandas(_probe, schema)
+            .select(*in_cols, "seen")
+        )
+
+    def stage_add(self, df: DataFrame, key: str = "url_key") -> tuple[str, tuple[str, str]]:
+        m = self.m
+        keyed = df.select(F.col(key).alias("url_key")).withColumn(
+            "_pid", self._pid(F.col("url_key"))
+        )
+        state = self._state()
+
+        def _merge(lk, new, st):
+            pid = int(lk[0])
+            if st.empty:
+                bloom = np.zeros(m // 8, dtype=np.uint8)
+            else:
+                bloom = np.frombuffer(st["bloom"].iloc[0], dtype=np.uint8).copy()
+            if not new.empty:
+                _bloom_set(bloom, new["url_key"].to_numpy(), m)
+            return pd.DataFrame({"partition_id": [pid], "bloom": [bloom.tobytes()]})
+
+        merged = (
+            keyed.groupBy("_pid")
+            .cogroup(state.groupBy("partition_id"))
+            .applyInPandas(_merge, "partition_id: int, bloom: binary")
+        )
+        rel = self.store.stage(merged, BLOOM_TABLE)
+        # replace: each commit carries the full merged state (old partitions
+        # without new keys are re-emitted by the cogroup).
+        return BLOOM_TABLE, ("replace", rel)
+
+
+def make_url_seen(store: TableStore, kind: str = "exact", **kw):
+    if kind == "exact":
+        return ExactUrlSeen(store)
+    if kind == "bloom":
+        return BloomUrlSeen(store, **kw)
+    raise ValueError(kind)

@@ -1,0 +1,50 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for local[N] testing but every knob is the one you'd set on a
+1000-executor cluster: AQE on (runtime re-plan + skew-join splitting),
+explicit shuffle partitioning, Arrow for every pandas-UDF exchange,
+broadcast threshold for the small dimension tables (dns / denylist /
+robots all broadcast).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "crawler-core-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    # shuffle partitions sized to the parallelism level; at cluster scale this
+    # would be ~2-3x total cores (AQE coalesces the excess at runtime).
+    if shuffle_partitions is None:
+        n = int(master[master.index("[") + 1 : -1]) if "[" in master else 32
+        shuffle_partitions = max(8, 2 * n) if str(n) != "*" else 64
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # binary image bytes must never inflate shuffle buffers; cap file split
+        # size so a 100TB scan yields right-sized tasks.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

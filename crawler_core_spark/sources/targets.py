@@ -1,0 +1,88 @@
+"""Target-list sources (S1-S4).
+
+Every provider returns a ``DataFrame[(seq BIGINT, target STRING)]`` where
+``seq`` pins the original list order — the reference publishes jobs in
+target-list order (``orchestration/RabbitMqOrchestrationProvider.java:110-117``)
+and our crawl-order contract tie-breaks on ``seq`` (SURVEY.md O1).
+
+No network in the sandbox: the Tranco/Crux/MX providers take a seed
+DataFrame with the same line format the reference downloads
+(``targetlist/TrancoListProvider.java``, ``CruxListProvider.java:32-43``,
+``TrancoEmailListProvider.java:37-64``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _with_seq(df: DataFrame, order_col: str) -> DataFrame:
+    # Deterministic submission order. zipWithIndex-free: the inputs carry an
+    # explicit line number / rank; never rely on task order.
+    w = Window.orderBy(order_col)
+    return df.withColumn("seq", F.row_number().over(w).cast("long") - 1)
+
+
+def target_file_df(spark: SparkSession, path: str | None = None, lines: list[str] | None = None) -> DataFrame:
+    """S1: text file -> targets, dropping comment and empty lines
+    (targetlist/TargetFileProvider.java:34-41: startswith('#') OR isEmpty)."""
+    if lines is not None:
+        raw = spark.createDataFrame(list(enumerate(lines)), "line_no: long, value: string")
+    else:
+        # preserve file order without a driver collect
+        raw = (
+            spark.read.text(path)
+            .selectExpr("value", "monotonically_increasing_id() as line_no")
+        )
+    kept = raw.filter(~(F.col("value").startswith("#") | (F.col("value") == "")))
+    return _with_seq(kept, "line_no").select("seq", F.col("value").alias("target"))
+
+
+def tranco_targets(spark: SparkSession, csv_df: DataFrame, number: int) -> DataFrame:
+    """S2: tranco 'rank,host' csv -> first N lines, kept as full lines so the
+    parser extracts the rank (TrancoListProvider.java:25-32 keeps the raw line)."""
+    df = csv_df.select(
+        F.split("value", ",").getItem(0).cast("long").alias("rank"),
+        F.col("value").alias("target"),
+    ).filter(F.col("rank") <= number)
+    return _with_seq(df, "rank").select("seq", "target")
+
+
+def crux_targets(spark: SparkSession, csv_df: DataFrame, number: int) -> DataFrame:
+    """S3: crux 'proto://domain,rank' -> domains with rank <= N
+    (CruxListProvider.java:32-43: https filter, rank filter, strip proto)."""
+    df = (
+        csv_df.filter(F.col("value").contains("https://"))
+        .select(
+            F.split("value", ",").getItem(1).cast("int").alias("rank"),
+            F.split(F.split("value", ",").getItem(0), "://").getItem(1).alias("target"),
+        )
+        .filter(F.col("rank") <= number)
+    )
+    return _with_seq(df, "rank").select("seq", "target")
+
+
+def mx_expanded_targets(spark: SparkSession, tranco: DataFrame, mx_table: DataFrame) -> DataFrame:
+    """S4: per tranco host, MX expansion -> flatten -> distinct
+    (TrancoEmailListProvider.java:37-64; distinct at :63).
+
+    ``mx_table`` is the deterministic stand-in for live DNS-MX:
+    (hostname STRING, mx_hosts ARRAY<STRING>).  Hosts with no MX record are
+    dropped (reference logs and continues). Order = first appearance
+    (list order, then MX record order), deduplicated.
+    """
+    base = tranco.select(
+        "seq", F.element_at(F.split("target", ","), -1).alias("hostname")
+    )
+    exploded = (
+        base.join(mx_table, "hostname", "inner")
+        .select("seq", F.posexplode("mx_hosts").alias("pos", "target"))
+    )
+    first_seen = exploded.groupBy("target").agg(
+        F.min(F.struct("seq", "pos")).alias("first")
+    )
+    w = Window.orderBy(F.col("first.seq"), F.col("first.pos"))
+    return first_seen.select(
+        (F.row_number().over(w).cast("long") - 1).alias("seq"), "target"
+    )

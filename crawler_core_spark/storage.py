@@ -1,0 +1,117 @@
+"""Transactional table store — Iceberg-style snapshots over parquet (Plan B).
+
+The north_rule asks for Iceberg checkpoint tables; the sandbox has no
+Iceberg runtime jar, so this module provides the same *contract* behind
+the same module boundary (SURVEY.md §7.3):
+
+- named tables, each a set of committed parquet directories;
+- **multi-table atomic commits**: one commit-log entry lists every table
+  touched by a batch ({results append, frontier replace, counters append,
+  checkpoint append} — SURVEY.md K6), made visible by a single atomic
+  ``os.replace`` of the log file.  A crash between staging and commit
+  leaves only invisible stage directories — exactly Iceberg's
+  snapshot-isolation story, and the Spark-level engine code would be
+  unchanged on a real Iceberg catalog;
+- append vs replace table modes (append-only results log vs
+  MERGE-equivalent frontier/host-state replacement, SURVEY.md K1-K4);
+- readable commit metadata for resume (last committed batch_id).
+
+This replaces the reference's RabbitMQ unacked-delivery protocol
+(``orchestration/RabbitMqOrchestrationProvider.java:140,174-187``): a row
+is "acked" iff its batch committed; a killed run redelivers the whole
+uncommitted batch on resume (K6 exactly-once upgrade).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG = "_commits.json"
+
+
+class TableStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- commit log -------------------------------------------------------
+    def _log_path(self) -> str:
+        return os.path.join(self.root, _LOG)
+
+    def log(self) -> list[dict]:
+        try:
+            with open(self._log_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return []
+
+    def _write_log(self, entries: list[dict]) -> None:
+        tmp = self._log_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(entries, f)
+        os.replace(tmp, self._log_path())  # the atomic commit point
+
+    # -- staging + commit ---------------------------------------------------
+    def stage(self, df: DataFrame, table: str) -> str:
+        """Write df to an invisible stage directory; return its relpath."""
+        rel = os.path.join(table, f"snap-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        return rel
+
+    def commit(self, staged: dict[str, tuple[str, str]], meta: dict | None = None) -> int:
+        """staged: table -> (mode, relpath); mode in {'append','replace'}.
+        All tables become visible atomically. Returns commit id."""
+        entries = self.log()
+        commit_id = len(entries)
+        entries.append(
+            {
+                "commit_id": commit_id,
+                "meta": meta or {},
+                "tables": {t: {"mode": m, "path": p} for t, (m, p) in staged.items()},
+            }
+        )
+        self._write_log(entries)
+        return commit_id
+
+    def write(self, df: DataFrame, table: str, mode: str = "append", meta: dict | None = None) -> int:
+        return self.commit({table: (mode, self.stage(df, table))}, meta=meta)
+
+    # -- reads --------------------------------------------------------------
+    def table_paths(self, table: str) -> list[str]:
+        paths: list[str] = []
+        for e in self.log():
+            t = e["tables"].get(table)
+            if t is None:
+                continue
+            if t["mode"] == "replace":
+                paths = [t["path"]]
+            else:
+                paths.append(t["path"])
+        return [os.path.join(self.root, p) for p in paths]
+
+    def exists(self, table: str) -> bool:
+        return bool(self.table_paths(table))
+
+    def read(self, table: str, schema: str | None = None) -> DataFrame:
+        paths = self.table_paths(table)
+        if not paths:
+            if schema is None:
+                raise KeyError(f"table {table!r} has no committed snapshots")
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(*paths)
+
+    def last_meta(self, key: str | None = None):
+        entries = self.log()
+        if not entries:
+            return None
+        if key is None:
+            return entries[-1]["meta"]
+        for e in reversed(entries):
+            if key in e["meta"]:
+                return e["meta"][key]
+        return None
