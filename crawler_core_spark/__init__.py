@@ -35,6 +35,9 @@ JOB_STATUSES = [
     ("CRAWLER_ERROR", True),
     # [EXT] north_rule robots enforcement (no reference analogue; FIXTURES.md §5)
     ("ROBOTS_BLOCKED", True),
+    # [EXT] north_rule URL-seen dedup: a job whose canonical URL was already
+    # fetched reaches this terminal state instead of being fetched again.
+    ("DEDUPED", False),
 ]
 
 ERROR_STATUSES = [name for name, is_err in JOB_STATUSES if is_err]

@@ -1,0 +1,122 @@
+"""Text-analysis functions for a large-scale training-data pipeline [EXT].
+
+The reference has no text analytics; these are the corpus-hygiene
+operators a 100 TB crawl corpus needs (BASELINE "training-data pipeline"
+mandate): tokenization, quality scoring, language-ID heuristic, document
+fingerprinting, simhash.  Everything scalar stays in native
+``pyspark.sql.functions`` (JVM, whole-stage codegen); only simhash — a
+per-document reduction over token hashes — uses a vectorized pandas UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+STOPWORDS = ("the", "a", "and", "of", "to")
+
+# tiny per-language marker sets for the n-gram/stopword lang-ID heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "and"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+}
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    """Whitespace tokenization; native split (JVM-side)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count_col(text: str | Column = "text") -> Column:
+    return F.size(tokens_col(text)).cast("long")
+
+
+def count_tokens_in(tokens: Column, words: tuple[str, ...]) -> Column:
+    """# tokens ∈ words — native higher-order filter, no UDF."""
+    return F.size(F.filter(tokens, lambda t: t.isin(*words))).cast("long")
+
+
+def stopword_ratio_col(text: str | Column = "text") -> Column:
+    toks = tokens_col(text)
+    n = F.size(toks).cast("double")
+    stop = count_tokens_in(toks, STOPWORDS).cast("double")
+    return F.when(n > 0, stop / n).otherwise(F.lit(0.0))
+
+
+def quality_score_col(text: str | Column = "text") -> Column:
+    """Deterministic [0,1] quality proxy: long-enough docs with low stopword
+    density score higher. (The exact formula is the pinned contract, not a
+    linguistic claim.)"""
+    n = token_count_col(text).cast("double")
+    return (1.0 - stopword_ratio_col(text)) * F.least(F.lit(1.0), n / F.lit(100.0))
+
+
+def lang_id_col(text: str | Column = "text") -> Column:
+    """Marker-word language ID with deterministic tie-break en > de > fr;
+    'und' (undetermined) when no marker hits."""
+    toks = tokens_col(text)
+    s_en = count_tokens_in(toks, LANG_MARKERS["en"])
+    s_de = count_tokens_in(toks, LANG_MARKERS["de"])
+    s_fr = count_tokens_in(toks, LANG_MARKERS["fr"])
+    return (
+        F.when((s_en >= s_de) & (s_en >= s_fr) & (s_en > 0), F.lit("en"))
+        .when((s_de >= s_fr) & (s_de > 0), F.lit("de"))
+        .when(s_fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def fingerprint_col(text: str | Column = "text") -> Column:
+    """64-bit document fingerprint: xxhash64 of the canonical token stream
+    (lowercased, whitespace-normalized) — native, content-addressed."""
+    return F.xxhash64(F.array_join(tokens_col(F.lower(F.col(text) if isinstance(text, str) else text)), " "))
+
+
+# ---------------------------------------------------------------------------
+# simhash — vectorized pandas UDF (per-doc reduction over token hashes)
+# ---------------------------------------------------------------------------
+
+def _simhash_tokens(tok_lists) -> list[int]:
+    out = []
+    for toks in tok_lists:
+        if toks is None or len(toks) == 0:
+            out.append(0)
+            continue
+        hs = np.array(
+            [_str_hash64(t) for t in toks], dtype=np.uint64
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )
+        acc = (2 * bits - 1).sum(axis=0)
+        val = 0
+        for j in range(64):
+            if acc[j] > 0:
+                val |= 1 << j
+        out.append(val - (1 << 64) if val >= (1 << 63) else val)
+    return out
+
+
+def _str_hash64(s: str) -> int:
+    """Deterministic 64-bit string hash (FNV-1a), shared by the pytest
+    reference implementation; independent of PYTHONHASHSEED."""
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+@pandas_udf(LongType())
+def simhash_udf(token_arrays: pd.Series) -> pd.Series:
+    return pd.Series(_simhash_tokens(token_arrays), dtype="int64")
+
+
+def hamming64_col(a: Column, b: Column) -> Column:
+    """Native popcount of XOR via bit_count (Spark >= 3.3)."""
+    return F.bit_count(a.bitwiseXOR(b))

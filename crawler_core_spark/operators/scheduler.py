@@ -45,14 +45,20 @@ def host_col() -> F.Column:
     return F.coalesce(F.col("hostname"), F.col("ip"))
 
 
-def apply_robots(frontier: DataFrame, robots: DataFrame, url_path: str = "/") -> DataFrame:
+def robots_match(
+    df: DataFrame,
+    robots: DataFrame,
+    id_col: str = "job_id",
+    host_col_name: str = "host",
+    path_col=None,
+) -> DataFrame:
     """O6: longest-prefix-match robots rules -> adds (robots_allow, crawl_delay).
 
     robots: (host, path_prefix, allow, crawl_delay); '*' matches any host but
     loses to an exact host row; longer path_prefix wins within a host.
-    Broadcast join: the rules table is a small dimension.
+    Broadcast join: the rules table is a small dimension. ``path_col`` is a
+    Column (or name) holding the URL path to match; defaults to '/'.
     """
-    fr = frontier.withColumn("host", host_col())
     r = F.broadcast(
         robots.select(
             F.col("host").alias("_r_host"),
@@ -61,15 +67,20 @@ def apply_robots(frontier: DataFrame, robots: DataFrame, url_path: str = "/") ->
             F.col("crawl_delay").alias("_r_delay"),
         )
     )
-    path = F.lit(url_path)
-    joined = fr.join(
+    if path_col is None:
+        path = F.lit("/")
+    elif isinstance(path_col, str):
+        path = F.col(path_col)
+    else:
+        path = path_col
+    joined = df.join(
         r,
-        ((fr["host"] == r["_r_host"]) | (r["_r_host"] == "*"))
+        ((df[host_col_name] == r["_r_host"]) | (r["_r_host"] == "*"))
         & path.startswith(r["_r_prefix"]),
         "left",
     )
     # rank matches: exact host beats '*', then longest prefix
-    w = Window.partitionBy("job_id").orderBy(
+    w = Window.partitionBy(id_col).orderBy(
         F.when(F.col("_r_host") == "*", 1).otherwise(0),
         F.length(F.col("_r_prefix")).desc(),
     )
@@ -83,6 +94,13 @@ def apply_robots(frontier: DataFrame, robots: DataFrame, url_path: str = "/") ->
         .drop("_r_host", "_r_prefix", "_r_allow", "_r_delay", "_rn")
     )
     return best
+
+
+def apply_robots(frontier: DataFrame, robots: DataFrame, url_path: str = "/") -> DataFrame:
+    """O6 at publish time: frontier rows carry no path (the reference's unit
+    of work is host:port), so rules match against the root path."""
+    fr = frontier.withColumn("host", host_col())
+    return robots_match(fr, robots, id_col="job_id", path_col=F.lit(url_path))
 
 
 def select_batch(

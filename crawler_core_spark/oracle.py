@@ -183,6 +183,7 @@ def crawl_oracle(
             if j.url_canon in run.url_seen or j.url_canon in batch_seen:
                 deduped.append(j)
                 j.status = "DEDUPED"
+                j.batch_id = batch_id
             else:
                 batch_seen.add(j.url_canon)
                 fetched.append(j)

@@ -235,7 +235,8 @@ class CrawlEngine:
             batch = selected.join(flags, "job_id", "left")
 
             to_fetch = batch.filter(~F.col("dup")).drop("dup")
-            dedup_keys = batch.filter(F.col("dup")).select("url_key")
+            dup_rows = batch.filter(F.col("dup")).drop("dup").persist()
+            dedup_keys = dup_rows.select("url_key")
 
             fetched = fetch_batch(
                 salted_repartition(to_fetch, self.salt_buckets),
@@ -254,7 +255,23 @@ class CrawlEngine:
             deferred_cnt = eligible_cnt - sel_cnt
 
             # ---- stage the atomic batch commit -------------------------
-            results_out = fetched.select(*RESULT_COLS)
+            # deduped rows reach a terminal state too ([EXT] status DEDUPED):
+            # every published job ends in exactly one results row.
+            dedup_results = (
+                dup_rows.withColumn("status", F.lit("DEDUPED"))
+                .withColumn("batch_id", F.lit(batch_id))
+                .withColumn("crawl_pos", F.lit(None).cast("long"))
+                .withColumn("ts", F.lit(clock))
+                .withColumn("image_id", F.lit(None).cast("string"))
+                .withColumn("result_caption", F.lit(None).cast("string"))
+                .withColumn("result_phash", F.lit(None).cast("long"))
+                .withColumn("result_w", F.lit(None).cast("int"))
+                .withColumn("result_h", F.lit(None).cast("int"))
+                .withColumn("result_fmt", F.lit(None).cast("string"))
+                .withColumn("fetch_cost_ms", F.lit(None).cast("double"))
+                .select(*RESULT_COLS)
+            )
+            results_out = fetched.select(*RESULT_COLS).unionByName(dedup_results)
             new_frontier = frontier.join(
                 selected.select("job_id"), "job_id", "left_anti"
             ).select(*FRONTIER_COLS)
@@ -329,6 +346,7 @@ class CrawlEngine:
                 )
 
             stats.append(BatchStats(batch_id, fetched_cnt, deduped_cnt, deferred_cnt))
+            dup_rows.unpersist()
             fetched.unpersist()
             selected.unpersist()
             frontier.unpersist()

@@ -39,6 +39,16 @@ def target_file_df(spark: SparkSession, path: str | None = None, lines: list[str
     return _with_seq(kept, "line_no").select("seq", F.col("value").alias("target"))
 
 
+def target_lines_df(lines: DataFrame, line_no: str = "line_no", value: str = "value") -> DataFrame:
+    """S1 over an already-distributed lines DataFrame (no driver list):
+    same comment/empty filtering as ``target_file_df``
+    (targetlist/TargetFileProvider.java:34-41), seq pinned by ``line_no``."""
+    kept = lines.filter(
+        ~(F.col(value).startswith("#") | (F.col(value) == ""))
+    ).select(F.col(line_no).alias("line_no"), F.col(value).alias("value"))
+    return _with_seq(kept, "line_no").select("seq", F.col("value").alias("target"))
+
+
 def tranco_targets(spark: SparkSession, csv_df: DataFrame, number: int) -> DataFrame:
     """S2: tranco 'rank,host' csv -> first N lines, kept as full lines so the
     parser extracts the rank (TrancoListProvider.java:25-32 keeps the raw line)."""
