@@ -1,0 +1,738 @@
+"""Driver-facing query suite over /root/testdata parquet tables.
+
+Each query expresses one operator family from SURVEY.md §2 on the shared
+test tables (region nation customer supplier part orders lineitem events
+documents embeddings), with a DuckDB-runnable ANSI-SQL oracle computing
+the identical result.  Crawler-shaped inputs (target strings, dns,
+denylists, robots rules, frontier rows) are derived *deterministically
+from the tables themselves* with closed-form expressions, so both sides
+compute from the same rows and the comparison is exact.
+
+Column-name discipline: every computed column is aliased identically in
+the Spark plan and the SQL (the driver sorts columns by name and
+value-hashes).  Doubles are rounded on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawler_core_spark.functions.text import (
+    count_tokens_in,
+    lang_id_col,
+    quality_score_col,
+    stopword_ratio_col,
+    token_count_col,
+    tokens_col,
+)
+from crawler_core_spark.functions.url import canonicalize_urls_udf
+from crawler_core_spark.operators.publish import parse_and_route
+from crawler_core_spark.operators.results import latest_result_per_job
+from crawler_core_spark.operators.scheduler import robots_match, select_batch
+from crawler_core_spark.plans.monitor import ProgressMonitor
+from crawler_core_spark.sources.denylist import Denylist
+from crawler_core_spark.sources.targets import (
+    crux_targets,
+    mx_expanded_targets,
+    target_lines_df,
+    tranco_targets,
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared closed-form generators (Spark side)
+# ---------------------------------------------------------------------------
+
+def _ip_expr(k):
+    """'10.a.b.c' derived from an integer key (matches the SQL oracle)."""
+    return F.concat_ws(
+        ".",
+        F.lit("10"),
+        (F.floor(k / 65536) % 256).cast("string"),
+        (F.floor(k / 256) % 256).cast("string"),
+        (k % 256).cast("string"),
+    )
+
+
+_IP_SQL = (
+    "'10.' || (({k} // 65536) % 256) || '.' || (({k} // 256) % 256) || '.' || ({k} % 256)"
+)
+
+
+def _publish_inputs(spark: SparkSession, sf_dir: str):
+    """Crawler seed list + dns + denylist derived from `customer`.
+
+    Line forms by k % 6 (k = c_custkey): ip / ip:port / hostname /
+    hostname:port / 'rank,hostname' / ip:badport; every 31st line a
+    comment, every 37th empty (S1 filter fodder). DNS: host-k resolves to
+    ip(k+7) unless k % 41 == 0. Denylist: domains k%23==0, ips k%29==0,
+    CIDR 10.42.0.0/16.
+    """
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    k = F.col("k")
+    host = F.concat(F.lit("host-"), k.cast("string"), F.lit(".example.com"))
+    ip = _ip_expr(k)
+    goodport = (F.lit(1024) + k % 60000).cast("string")
+    badport = (F.lit(65536) + k % 10000).cast("string")
+    rank = (k % 1000 + 1).cast("string")
+    form = (k % 6).cast("int")
+    value = (
+        F.when(k % 31 == 0, F.concat(F.lit("# comment "), k.cast("string")))
+        .when(k % 37 == 0, F.lit(""))
+        .when(form == 0, ip)
+        .when(form == 1, F.concat(ip, F.lit(":"), goodport))
+        .when(form == 2, host)
+        .when(form == 3, F.concat(host, F.lit(":"), goodport))
+        .when(form == 4, F.concat(rank, F.lit(","), host))
+        .otherwise(F.concat(ip, F.lit(":"), badport))
+    )
+    lines = c.select(k.alias("line_no"), value.alias("value"))
+    targets = target_lines_df(lines)
+
+    dns = c.select(
+        host.alias("hostname"),
+        _ip_expr(k + 7).alias("ip"),
+        (k % 41 != 0).alias("resolvable"),
+    )
+    denylist = Denylist(
+        domains=c.filter(k % 23 == 0).select(host.alias("deny_domain")),
+        ips=c.filter(k % 29 == 0).select(_ip_expr(k).alias("deny_ip")),
+        cidrs=spark.createDataFrame(
+            [("10.42.0.0/16", 10 * 16777216 + 42 * 65536 + 1, 10 * 16777216 + 42 * 65536 + 65534)],
+            "cidr: string, ip_lo: long, ip_hi: long",
+        ),
+    )
+    return targets, dns, denylist
+
+
+_PUBLISH_CTE = f"""
+WITH kept AS (
+  SELECT c_custkey AS k,
+         row_number() OVER (ORDER BY c_custkey) - 1 AS seq
+  FROM customer WHERE c_custkey % 31 <> 0 AND c_custkey % 37 <> 0
+), f AS (
+  SELECT k, seq, (k % 6) AS form,
+         {_IP_SQL.format(k='k')} AS ip_lit,
+         {_IP_SQL.format(k='(k+7)')} AS ip_res,
+         'host-' || k || '.example.com' AS host,
+         1024 + k % 60000 AS goodport,
+         (k % 1000 + 1) AS rnk
+  FROM kept
+), parsed AS (
+  SELECT k, seq, form, host, ip_lit, ip_res, goodport, rnk,
+    CASE WHEN form IN (2,3,4) THEN host END AS hostname,
+    CASE WHEN form IN (0,1,5) THEN ip_lit
+         WHEN form IN (2,3,4) AND k % 41 <> 0 THEN ip_res END AS ip,
+    CAST(CASE WHEN form IN (1,3) THEN goodport ELSE 443 END AS INTEGER) AS port,
+    CAST(CASE WHEN form = 4 THEN rnk ELSE 0 END AS INTEGER) AS tranco_rank,
+    CASE WHEN form IN (0,1,5)
+         THEN 167772160 + ((k // 65536) % 256) * 65536 + ((k // 256) % 256) * 256 + (k % 256)
+         WHEN form IN (2,3,4) AND k % 41 <> 0
+         THEN 167772160 + (((k+7) // 65536) % 256) * 65536 + (((k+7) // 256) % 256) * 256 + ((k+7) % 256)
+         END AS ip_num
+  FROM f
+), routed AS (
+  SELECT seq, hostname, ip, port, tranco_rank,
+    CASE
+      WHEN form IN (2,3,4) AND k % 41 = 0 THEN 'UNRESOLVABLE'
+      WHEN hostname IN (SELECT 'host-' || c_custkey || '.example.com' FROM customer WHERE c_custkey % 23 = 0)
+        OR ip IN (SELECT {_IP_SQL.format(k='c_custkey')} FROM customer WHERE c_custkey % 29 = 0)
+        OR (ip_num BETWEEN 167772160 + 42*65536 + 1 AND 167772160 + 42*65536 + 65534)
+      THEN 'DENYLISTED'
+      ELSE 'TO_BE_EXECUTED'
+    END AS status
+  FROM parsed
+)
+"""
+
+
+def q_publish_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 parse + S6/J3 dns + T3/J1/J2 denylist + T2 routing, per-row."""
+    targets, dns, denylist = _publish_inputs(spark, sf_dir)
+    routed = parse_and_route(targets, dns, denylist, "bs-q")
+    return routed.all_jobs.select(
+        "seq", "hostname", "ip", "port", "tranco_rank", "status"
+    )
+
+
+SQL_PUBLISH_ROUTE = _PUBLISH_CTE + "SELECT seq, hostname, ip, port, tranco_rank, status FROM routed"
+
+
+def q_publish_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — status histogram at publish (PublishBulkScanJob.java:71-86)."""
+    targets, dns, denylist = _publish_inputs(spark, sf_dir)
+    routed = parse_and_route(targets, dns, denylist, "bs-q")
+    return routed.all_jobs.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_PUBLISH_HISTOGRAM = _PUBLISH_CTE + "SELECT status, count(*) AS n FROM routed GROUP BY status"
+
+
+def q_tranco_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/O4 — tranco 'rank,host' list, first N kept (rank <= 500)."""
+    c = load(spark, sf_dir, "customer")
+    csv = c.select(
+        F.concat(
+            F.col("c_custkey").cast("string"),
+            F.lit(",host-"),
+            F.col("c_custkey").cast("string"),
+            F.lit(".example.com"),
+        ).alias("value")
+    )
+    return tranco_targets(spark, csv, 500)
+
+
+SQL_TRANCO_TOPN = """
+SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS seq,
+       c_custkey || ',host-' || c_custkey || '.example.com' AS target
+FROM customer WHERE c_custkey <= 500
+"""
+
+
+def q_crux_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — crux 'proto://domain,rank': https-only, rank <= 400, strip proto."""
+    p = load(spark, sf_dir, "part")
+    proto = F.when(F.col("p_partkey") % 2 == 0, F.lit("https://")).otherwise(F.lit("http://"))
+    csv = p.select(
+        F.concat(
+            proto,
+            F.lit("dom-"), F.col("p_partkey").cast("string"), F.lit(".example.org,"),
+            F.col("p_partkey").cast("string"),
+        ).alias("value")
+    )
+    return crux_targets(spark, csv, 400)
+
+
+SQL_CRUX_FILTER = """
+SELECT row_number() OVER (ORDER BY p_partkey) - 1 AS seq,
+       'dom-' || p_partkey || '.example.org' AS target
+FROM part WHERE p_partkey % 2 = 0 AND p_partkey <= 400
+"""
+
+
+def q_mx_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/A6 — MX-record expansion: flatten + first-seen distinct
+    (TrancoEmailListProvider.java:37-64)."""
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    csv = n.select(
+        F.concat(
+            (F.col("n_nationkey") + 1).cast("string"),
+            F.lit(",nation-"), F.col("n_nationkey").cast("string"), F.lit(".example.org"),
+        ).alias("value")
+    )
+    tranco = tranco_targets(spark, csv, 100)
+    mx_table = (
+        s.select(
+            F.concat(F.lit("nation-"), F.col("s_nationkey").cast("string"), F.lit(".example.org")).alias("hostname"),
+            F.struct(
+                F.col("s_suppkey"),
+                F.concat(F.lit("mx-"), (F.col("s_suppkey") % 37).cast("string"), F.lit(".mail.test")).alias("mx"),
+            ).alias("rec"),
+        )
+        .groupBy("hostname")
+        .agg(F.sort_array(F.collect_list("rec")).alias("recs"))
+        .select("hostname", F.col("recs.mx").alias("mx_hosts"))
+    )
+    return mx_expanded_targets(spark, tranco, mx_table)
+
+
+SQL_MX_EXPAND = """
+WITH tranco AS (
+  SELECT n_nationkey + 1 AS rnk,
+         row_number() OVER (ORDER BY n_nationkey + 1) - 1 AS seq,
+         'nation-' || n_nationkey || '.example.org' AS hostname
+  FROM nation WHERE n_nationkey + 1 <= 100
+), ex AS (
+  SELECT t.seq, s.s_suppkey,
+         'mx-' || (s.s_suppkey % 37) || '.mail.test' AS mx
+  FROM tranco t JOIN supplier s
+    ON 'nation-' || s.s_nationkey || '.example.org' = t.hostname
+), pos AS (
+  SELECT seq, mx,
+         row_number() OVER (PARTITION BY seq ORDER BY s_suppkey) - 1 AS pos
+  FROM ex
+), first_seen AS (
+  SELECT mx AS target, min(seq * 1000000 + pos) AS ord FROM pos GROUP BY mx
+)
+SELECT row_number() OVER (ORDER BY ord) - 1 AS seq, target FROM first_seen
+"""
+
+
+def q_denylist_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3/J1/J2 — denylist membership as broadcast hash + range joins."""
+    s = load(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    df = s.select(
+        k.alias("job"),
+        F.concat(F.lit("sup-"), k.cast("string"), F.lit(".example.com")).alias("hostname"),
+        _ip_expr(k * 7).alias("ip"),
+    )
+    dl = Denylist(
+        domains=s.filter(k % 11 == 0).select(
+            F.concat(F.lit("sup-"), k.cast("string"), F.lit(".example.com")).alias("deny_domain")
+        ),
+        ips=s.filter(k % 13 == 0).select(_ip_expr(k * 7).alias("deny_ip")),
+        cidrs=spark.createDataFrame(
+            [("10.0.4.0/24", 10 * 16777216 + 4 * 256 + 1, 10 * 16777216 + 4 * 256 + 254)],
+            "cidr: string, ip_lo: long, ip_hi: long",
+        ),
+    )
+    return dl.mark(df).select("job", "denylisted")
+
+
+SQL_DENYLIST_MARK = f"""
+WITH s AS (
+  SELECT s_suppkey AS k,
+         'sup-' || s_suppkey || '.example.com' AS hostname,
+         {_IP_SQL.format(k='(s_suppkey*7)')} AS ip,
+         167772160 + (((s_suppkey*7) // 65536) % 256) * 65536
+                   + (((s_suppkey*7) // 256) % 256) * 256 + ((s_suppkey*7) % 256) AS ip_num
+  FROM supplier
+)
+SELECT k AS job,
+       (hostname IN (SELECT 'sup-' || s_suppkey || '.example.com' FROM supplier WHERE s_suppkey % 11 = 0)
+        OR ip IN (SELECT {_IP_SQL.format(k='(s_suppkey*7)')} FROM supplier WHERE s_suppkey % 13 = 0)
+        OR ip_num BETWEEN 167772160 + 4*256 + 1 AND 167772160 + 4*256 + 254) AS denylisted
+FROM s
+"""
+
+
+def q_priority_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O5 — rank-over-window priority queue with per-host politeness
+    budget (budget = max(1, floor(10 / crawl_delay)))."""
+    o = load(spark, sf_dir, "orders")
+    frontier = o.select(
+        F.col("o_orderkey").alias("job_id"),
+        F.col("o_custkey").cast("string").alias("host"),
+        F.split(F.col("o_orderpriority"), "-").getItem(0).cast("int").alias("priority"),
+        F.col("o_orderkey").alias("seq"),
+        (F.col("o_custkey") % 5 + 1).cast("double").alias("crawl_delay"),
+    )
+    empty_state = spark.createDataFrame([], "host: string, next_fetch_time: double, crawl_delay: double")
+    sel = select_batch(frontier, empty_state, clock=0.0, batch_period=10.0)
+    return sel.select("job_id", "host", "priority")
+
+
+SQL_PRIORITY_BATCH = """
+WITH f AS (
+  SELECT o_orderkey AS job_id,
+         CAST(o_custkey AS VARCHAR) AS host,
+         CAST(string_split(o_orderpriority, '-')[1] AS INTEGER) AS priority,
+         o_orderkey AS seq,
+         (o_custkey % 5 + 1) AS crawl_delay
+  FROM orders
+)
+SELECT job_id, host, priority FROM (
+  SELECT job_id, host, priority,
+         row_number() OVER (PARTITION BY host ORDER BY priority, seq) AS rn,
+         greatest(1, floor(10.0 / crawl_delay)) AS budget
+  FROM f
+) WHERE rn <= budget
+"""
+
+
+def q_latest_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — most-recent-result-wins (MongoPersistenceProvider.java:362-370)
+    over the events log: latest event per user."""
+    e = load(spark, sf_dir, "events")
+    results = e.select(
+        F.col("user_id").alias("job_id"),
+        F.col("ts"),
+        F.col("event_id").alias("batch_id"),
+        F.col("event_type"),
+        F.round(F.col("value"), 6).alias("value"),
+    )
+    return latest_result_per_job(results).select("job_id", "batch_id", "event_type", "value")
+
+
+SQL_LATEST_RESULT = """
+SELECT user_id AS job_id, event_id AS batch_id, event_type, round(value, 6) AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_robots_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 — longest-prefix robots matching; exact host beats wildcard."""
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    df = o.select(
+        F.col("o_orderkey").alias("job_id"),
+        F.concat(F.lit("h"), (F.col("o_custkey") % 12).cast("string")).alias("host"),
+        F.concat(F.lit("/p/"), (F.col("o_orderkey") % 3).cast("string")).alias("path"),
+    )
+    rules = n.select(
+        F.concat(F.lit("h"), (F.col("n_nationkey") % 10).cast("string")).alias("host"),
+        F.when(F.col("n_nationkey") < 10, F.lit("/"))
+        .when(F.col("n_nationkey") < 20, F.lit("/p/"))
+        .otherwise(F.lit("/p/1")).alias("path_prefix"),
+        (F.col("n_nationkey") % 4 != 0).alias("allow"),
+        (1.0 + F.col("n_nationkey") % 5).alias("crawl_delay"),
+    ).unionByName(
+        spark.createDataFrame(
+            [("*", "/", True, 0.5)],
+            "host: string, path_prefix: string, allow: boolean, crawl_delay: double",
+        )
+    )
+    out = robots_match(df, rules, id_col="job_id", path_col="path")
+    return out.select("job_id", "robots_allow", "crawl_delay")
+
+
+SQL_ROBOTS_MATCH = """
+WITH df AS (
+  SELECT o_orderkey AS job_id,
+         'h' || (o_custkey % 12) AS host,
+         '/p/' || (o_orderkey % 3) AS path
+  FROM orders
+), rules AS (
+  SELECT 'h' || (n_nationkey % 10) AS host,
+         CASE WHEN n_nationkey < 10 THEN '/'
+              WHEN n_nationkey < 20 THEN '/p/'
+              ELSE '/p/1' END AS path_prefix,
+         (n_nationkey % 4 <> 0) AS allow,
+         1.0 + (n_nationkey % 5) AS crawl_delay
+  FROM nation
+  UNION ALL SELECT '*', '/', true, 0.5
+), matched AS (
+  SELECT d.job_id, r.allow, r.crawl_delay,
+         row_number() OVER (
+           PARTITION BY d.job_id
+           ORDER BY CASE WHEN r.host = '*' THEN 1 ELSE 0 END,
+                    length(r.path_prefix) DESC
+         ) AS rn
+  FROM df d JOIN rules r
+    ON (d.host = r.host OR r.host = '*') AND starts_with(d.path, r.path_prefix)
+)
+SELECT d.job_id,
+       coalesce(m.allow, true) AS robots_allow,
+       coalesce(m.crawl_delay, 1.0) AS crawl_delay
+FROM df d LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m ON d.job_id = m.job_id
+"""
+
+
+def q_canon_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + exact URL-seen grouping (A7 correctness path):
+    scheme/host case, default-port elision, duplicate-slash collapse."""
+    p = load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    base = F.concat(F.lit("p-"), F.floor(k / 4).cast("string"), F.lit(".example.com"))
+    url = (
+        F.when(k % 4 == 0, F.concat(F.lit("http://"), base, F.lit("/a/b")))
+        .when(k % 4 == 1, F.concat(F.lit("HTTP://"), F.upper(base), F.lit(":80/a/b")))
+        .when(k % 4 == 2, F.concat(F.lit("https://"), base, F.lit("/x")))
+        .otherwise(F.concat(F.lit("http://"), base, F.lit("/a//b")))
+    )
+    return (
+        p.select(canonicalize_urls_udf(url).alias("url_canon"))
+        .groupBy("url_canon")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_CANON_DEDUP = """
+WITH u AS (
+  SELECT CASE WHEN p_partkey % 4 = 2
+              THEN 'https://p-' || (p_partkey // 4) || '.example.com/x'
+              ELSE 'http://p-' || (p_partkey // 4) || '.example.com/a/b'
+         END AS url_canon
+  FROM part
+)
+SELECT url_canon, count(*) AS n FROM u GROUP BY url_canon
+"""
+
+
+def q_progress_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4 — EMA of per-batch done-counts with the reference's exact
+    alpha schedule (ProgressMonitor.java:108-114), computed driver-side
+    over the tiny per-batch series (one row per day bucket)."""
+    e = load(spark, sf_dir, "events")
+    series = (
+        e.select(F.floor(F.unix_timestamp("ts") / 86400).alias("batch_id"))
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+        .orderBy("batch_id")
+        .collect()
+    )
+    # EMA over v with the reference alpha schedule (n is 1-based); same
+    # recurrence as ProgressMonitor.on_done with per-batch values as the
+    # "durations" — ema_1 == v_1 because alpha_1 = 2/(1+1) = 1.
+    rows, ema = [], -1.0
+    for i, r in enumerate(series, start=1):
+        alpha = 0.1 if i > 20 else 2.0 / (i + 1)
+        ema = alpha * r["v"] + (1 - alpha) * ema if i > 1 else r["v"]
+        rows.append((int(r["batch_id"]), round(ema, 6)))
+    return spark.createDataFrame(rows, "batch_id: long, ema: double")
+
+
+SQL_PROGRESS_EMA = """
+WITH RECURSIVE b AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS batch_id,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY 1
+), s AS (
+  SELECT row_number() OVER (ORDER BY batch_id) AS n, batch_id, v FROM b
+), ema AS (
+  SELECT n, batch_id, v, v AS e FROM s WHERE n = 1
+  UNION ALL
+  SELECT s.n, s.batch_id, s.v,
+         (CASE WHEN s.n > 20 THEN 0.1 ELSE 2.0 / (s.n + 1) END) * s.v
+         + (1 - CASE WHEN s.n > 20 THEN 0.1 ELSE 2.0 / (s.n + 1) END) * ema.e
+  FROM s JOIN ema ON s.n = ema.n + 1
+)
+SELECT batch_id, round(e, 6) AS ema FROM ema
+"""
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed counters (A2 shape): per-day, per-event-type counts and
+    value sums — the batch equivalent of the done-notification stream."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.floor(F.unix_timestamp("ts") / 86400).alias("day"),
+            "event_type",
+            "value",
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_v"))
+    )
+
+
+SQL_EVENTS_TUMBLING = """
+SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, event_type,
+       count(*) AS n, round(sum(value), 4) AS sum_v
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: documents + embeddings
+# ---------------------------------------------------------------------------
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring + token counting (native, codegen-friendly)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_col("text").alias("n_tokens"),
+        F.round(stopword_ratio_col("text"), 6).alias("stop_ratio"),
+        F.round(quality_score_col("text"), 6).alias("quality"),
+    )
+
+
+SQL_DOC_TOKEN_STATS = """
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS sr
+  FROM t
+)
+SELECT doc_id, n_tokens, round(sr, 6) AS stop_ratio,
+       round((1.0 - sr) * least(1.0, n_tokens / 100.0), 6) AS quality
+FROM m
+"""
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic over marker stopwords (deterministic tie-break)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id_col("text").alias("lang_pred"))
+
+
+SQL_DOC_LANG_ID = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> x IN ('the','a','and'))) AS s_en,
+         len(list_filter(toks, x -> x IN ('der','die','und'))) AS s_de,
+         len(list_filter(toks, x -> x IN ('le','la','et'))) AS s_fr
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+            WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+            WHEN s_fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred
+FROM s
+"""
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content-prefix hash groups: survivor + group size
+    (hash-groupBy dedup; the frontier's A7 applied to document text)."""
+    d = load(spark, sf_dir, "documents")
+    key = F.md5(F.substring(F.col("text"), 1, 30))
+    w = Window.partitionBy("dup_key").orderBy("doc_id")
+    return (
+        d.select("doc_id", key.alias("dup_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("group_n", F.count(F.lit(1)).over(Window.partitionBy("dup_key")))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("group_n").cast("long").alias("group_n"))
+    )
+
+
+SQL_DOC_EXACT_DEDUP = """
+SELECT doc_id, CAST(group_n AS BIGINT) AS group_n FROM (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY md5(substring(text, 1, 30)) ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY md5(substring(text, 1, 30))) AS group_n
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard near-dup scoring for adjacent doc pairs — the
+    exact-similarity oracle the MinHash path approximates."""
+    d = load(spark, sf_dir, "documents")
+    a = d.select(F.col("doc_id"), F.array_distinct(tokens_col("text")).alias("ta"))
+    b = d.select((F.col("doc_id") - 1).alias("doc_id"), F.array_distinct(tokens_col("text")).alias("tb"))
+    j = a.join(b, "doc_id")
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    union = F.size(F.array_union("ta", "tb")).cast("double")
+    return j.select(
+        "doc_id",
+        F.round(F.when(union > 0, inter / union).otherwise(0.0), 6).alias("jaccard"),
+    )
+
+
+SQL_DOC_JACCARD_PAIRS = """
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+  FROM documents
+)
+SELECT a.doc_id,
+       round(CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) > 0
+             THEN CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.toks, b.toks)))
+             ELSE 0.0 END, 6) AS jaccard
+FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def q_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates — scale path (no SQL oracle; the
+    exact-Jaccard query above is the correctness anchor, and pytest pins
+    bloom/minhash properties). Pure JVM: explode -> xxhash64 per
+    permutation -> min -> band -> self-join on (band, signature)."""
+    from crawler_core_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, id_col="doc_id", text_col="text", n_hashes=16, bands=4,
+        verify_threshold=0.8,
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline: 5 query vectors vs the full
+    embeddings table, native F.aggregate/zip_with dot products."""
+    from crawler_core_spark.operators.ann import brute_force_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return brute_force_topk(e, queries, k=10)
+
+
+SQL_ANN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+), sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(
+             CAST(q.qvec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+  FROM sims
+) WHERE rn <= 10
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH-bucketed ANN — the scale path (no SQL oracle;
+    approximate by construction, pytest checks recall vs brute force)."""
+    from crawler_core_spark.operators.ann import lsh_bucket_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return lsh_bucket_topk(e, queries, k=10, n_planes=8)
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + near-dup pairs by Hamming distance (no SQL
+    oracle: 64-bit FNV bit math; pytest pins it against a pure-Python
+    reference)."""
+    from crawler_core_spark.operators.dedup import simhash_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return simhash_pairs(d, id_col="doc_id", text_col="text", max_hamming=6)
+
+
+QUERIES = {
+    "publish_route": q_publish_route,
+    "publish_histogram": q_publish_histogram,
+    "tranco_topn": q_tranco_topn,
+    "crux_filter": q_crux_filter,
+    "mx_expand": q_mx_expand,
+    "denylist_mark": q_denylist_mark,
+    "priority_batch": q_priority_batch,
+    "latest_result": q_latest_result,
+    "robots_match": q_robots_match,
+    "canon_dedup": q_canon_dedup,
+    "progress_ema": q_progress_ema,
+    "events_tumbling": q_events_tumbling,
+    "doc_token_stats": q_doc_token_stats,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_jaccard_pairs": q_doc_jaccard_pairs,
+    "doc_minhash_lsh": q_doc_minhash_lsh,
+    "doc_simhash": q_doc_simhash,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+}
+
+ORACLE_SQL = {
+    "publish_route": SQL_PUBLISH_ROUTE,
+    "publish_histogram": SQL_PUBLISH_HISTOGRAM,
+    "tranco_topn": SQL_TRANCO_TOPN,
+    "crux_filter": SQL_CRUX_FILTER,
+    "mx_expand": SQL_MX_EXPAND,
+    "denylist_mark": SQL_DENYLIST_MARK,
+    "priority_batch": SQL_PRIORITY_BATCH,
+    "latest_result": SQL_LATEST_RESULT,
+    "robots_match": SQL_ROBOTS_MATCH,
+    "canon_dedup": SQL_CANON_DEDUP,
+    "progress_ema": SQL_PROGRESS_EMA,
+    "events_tumbling": SQL_EVENTS_TUMBLING,
+    "doc_token_stats": SQL_DOC_TOKEN_STATS,
+    "doc_lang_id": SQL_DOC_LANG_ID,
+    "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
+    "doc_jaccard_pairs": SQL_DOC_JACCARD_PAIRS,
+    "ann_topk": SQL_ANN_TOPK,
+    # doc_minhash_lsh / doc_simhash / ann_lsh: non-SQL-expressible
+    # (xxhash64 / FNV bit math / approximate) — rows-only driver check;
+    # pytest pins them against exact references.
+}

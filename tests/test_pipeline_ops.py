@@ -1,0 +1,161 @@
+"""Training-data pipeline operators vs pure-Python references: dedup
+(exact / MinHash-LSH / SimHash), ANN (brute force / LSH recall), text
+analysis. These are the non-SQL-expressible queries' correctness pins."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_core_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    _simhash_tokens,
+    _str_hash64,
+)
+from crawler_core_spark.operators.ann import brute_force_topk, lsh_bucket_topk
+from crawler_core_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+    (2, "the quick brown fox jumps over a lazy cat"),            # near dup of 0
+    (3, "completely different text about spark engines and data"),
+    (4, "spark engines and data pipelines process completely different text"),  # near dup of 3
+    (5, "der schnelle braune fuchs und die katze"),
+    (6, "unrelated words zebra quasar nebula falcon"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id: long, text: string")
+
+
+def py_jaccard(a: str, b: str) -> float:
+    sa, sb = set(a.split()), set(b.split())
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(docs_df):
+    out = {r["doc_id"]: r["group_n"] for r in exact_dedup(docs_df, "doc_id", "text").collect()}
+    assert out[0] == 2          # doc 1 collapsed into doc 0
+    assert 1 not in out
+    assert out[3] == 1
+
+
+def test_minhash_lsh_finds_dups_and_exact_jaccard(docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in minhash_lsh_pairs(docs_df, n_hashes=16, bands=8).collect()
+    }
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)]["est_jaccard"] == 1.0
+    assert pairs[(0, 1)]["jaccard"] == 1.0
+    # every reported exact jaccard matches the pure-python value
+    texts = dict(DOCS)
+    for (a, b), r in pairs.items():
+        assert r["jaccard"] == pytest.approx(py_jaccard(texts[a], texts[b]), abs=1e-6)
+    # near-dup of 0 (7/11 overlap) should surface with 8 bands of 2 rows
+    assert (0, 2) in pairs or (1, 2) in pairs
+
+
+def test_simhash_matches_python_reference(spark, docs_df):
+    from crawler_core_spark.operators.dedup import simhash_fingerprints
+
+    got = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs_df, "doc_id", "text").collect()}
+    for doc_id, text in DOCS:
+        want = _simhash_tokens([text.split()])[0]
+        assert got[doc_id] == want, doc_id
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(docs_df, max_hamming=3).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+def test_fnv_hash_deterministic():
+    assert _str_hash64("the") == _str_hash64("the")
+    assert _str_hash64("the") != _str_hash64("The")
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((4, 16)) * 3
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        rows.append((i, (c + rng.standard_normal(16) * 0.3).astype("float32").tolist(), i % 4))
+    return rows, spark.createDataFrame(rows, "vec_id: long, embedding: array<float>, label: int")
+
+
+def test_brute_force_topk_matches_numpy(vectors):
+    rows, df = vectors
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = brute_force_topk(df, q, k=5)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["neighbor_id"], r["sim"]))
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    for qid in range(3):
+        sims = (mat @ mat[qid]) / (norms * norms[qid])
+        sims[qid] = -np.inf
+        order = sorted(range(len(rows)), key=lambda i: (-round(sims[i], 6), i))[:5]
+        want = [(i, round(sims[i], 6)) for i in order]
+        assert by_q[qid] == want, qid
+
+
+def test_lsh_recall_against_brute_force(vectors):
+    _, df = vectors
+    q = df.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = brute_force_topk(df, q, k=5)
+    approx = lsh_bucket_topk(df, q, k=5, n_planes=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # clustered data: same-cluster vectors mostly share the sign-bucket
+    assert recall >= 0.5, recall
+    # approximate results are a subset of the corpus with correct sims:
+    # every (q, n) in both must carry the same similarity
+    sims_e = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in exact.collect()}
+    sims_a = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in approx.collect()}
+    for k in e & a:
+        assert sims_e[k] == pytest.approx(sims_a[k], abs=1e-6)
+
+
+def test_text_functions(spark):
+    from crawler_core_spark.functions.text import (
+        fingerprint_col,
+        lang_id_col,
+        quality_score_col,
+        stopword_ratio_col,
+        token_count_col,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "the cat and the hat"), (1, "der hund und die katze"), (2, "xyzzy plugh")],
+        "id: long, text: string",
+    )
+    rows = {r["id"]: r for r in df.select(
+        "id",
+        token_count_col("text").alias("n"),
+        F.round(stopword_ratio_col("text"), 6).alias("sr"),
+        lang_id_col("text").alias("lang"),
+        fingerprint_col("text").alias("fp"),
+        F.round(quality_score_col("text"), 6).alias("q"),
+    ).collect()}
+    assert rows[0]["n"] == 5
+    assert rows[0]["sr"] == pytest.approx(3 / 5)
+    assert rows[0]["lang"] == "en"
+    assert rows[1]["lang"] == "de"
+    assert rows[2]["lang"] == "und"
+    assert rows[0]["q"] == pytest.approx(round((1 - 3 / 5) * (5 / 100), 6))
+    # fingerprint is case-insensitive on the token stream
+    fp2 = df.select(fingerprint_col(F.lit("THE CAT and the hat")).alias("fp")).first()["fp"]
+    assert rows[0]["fp"] == fp2
