@@ -70,6 +70,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 16,
     bands: int = 4,
     verify_threshold: float = 0.0,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) with estimated + exact Jaccard.
 
@@ -77,6 +78,13 @@ def minhash_lsh_pairs(
     signature slice matches exactly. Candidates (tiny vs all-pairs) are
     then exact-verified by token-set Jaccard — join back to tokens only
     for candidates.
+
+    ``max_bucket`` drops band buckets with more members than the cap
+    before pair generation: a bucket of b docs contributes b^2/2 pairs, so
+    one degenerate mega-bucket (boilerplate, empty docs) turns the join
+    quadratic. Capped buckets are near-identical clusters anyway — dedup
+    them via the exact hash path. NOTE: this bounds the join at 10^10-doc
+    scale; coverage loss is the documented trade, not silent truncation.
     """
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n_hashes)
@@ -97,6 +105,13 @@ def minhash_lsh_pairs(
             F.col("band"),
         ),
     )
+    if max_bucket is not None:
+        wb = Window.partitionBy("band", "band_sig")
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("band"), F.col("band_sig"), F.col("sig").alias("sig_a")
     )
@@ -149,6 +164,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance via 16-bit chunk banding:
     two hashes within Hamming<=3 share at least one of 4 exact 16-bit
@@ -166,6 +182,13 @@ def simhash_pairs(
     ).withColumn(
         "chunk", F.expr("shiftrightunsigned(simhash, ci * 16) & 65535")
     )
+    if max_bucket is not None:
+        wb = Window.partitionBy("ci", "chunk")
+        chunks = (
+            chunks.withColumn("_bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     a = chunks.select(F.col(id_col).alias("id_a"), "ci", "chunk", F.col("simhash").alias("sh_a"))
     b = chunks.select(F.col(id_col).alias("id_b"), "ci", "chunk", F.col("simhash").alias("sh_b"))
     return (

@@ -1,11 +1,14 @@
 """Results-side operators: latest-wins retrieval (O2), lookup by target (J5),
-and the write-path status invariant (T6).
+the write-path status invariant (T6), partial-result upsert (K4), and the
+image payload invariant gate (PSNR + caption equality, input_hint).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from crawler_core_spark.functions.image import psnr_udf
 
 
 def latest_result_per_job(results: DataFrame) -> DataFrame:
@@ -25,6 +28,47 @@ def latest_result_per_job(results: DataFrame) -> DataFrame:
 def results_for_target(results: DataFrame, target: str) -> DataFrame:
     """J5 — $or hostname/ip lookup (MongoPersistenceProvider.java:292-298)."""
     return results.filter((F.col("hostname") == target) | (F.col("ip") == target))
+
+
+def merge_partials(store, new_partials: DataFrame, table: str = "partial_results") -> int:
+    """K4 — upsert keyed by job_id (``replaceOne(_id=jobId, upsert=true)``,
+    MongoPersistenceProvider.java:397-423): the MERGE-equivalent over the
+    snapshot store. Latest partial per job wins (ts tie-broken by batch_id
+    like O2); stale partials are superseded, final results (written to the
+    results table) take precedence downstream."""
+    if store.exists(table):
+        merged = latest_result_per_job(
+            store.read(table).unionByName(new_partials, allowMissingColumns=True)
+        )
+    else:
+        merged = latest_result_per_job(new_partials)
+    return store.write(merged, table, mode="replace")
+
+
+def validate_fetch_invariant(
+    fetched: DataFrame,
+    reference: DataFrame,
+    min_psnr_db: float = 40.0,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Per-row payload invariant (input_hint): fetched bytes decode within
+    PSNR >= 40 dB of the reference row's bytes (exact decode -> PSNR inf,
+    capped 999) and captions are string-equal.  Returns per-row verdicts
+    ``(image_id, psnr_db, psnr_ok, caption_ok)``; callers gate a commit on
+    ``filter(~psnr_ok | ~caption_ok).count() == 0``.
+    """
+    ref = reference.select(
+        F.col(id_col).alias("_ref_id"),
+        F.col("bytes").alias("_ref_bytes"),
+        F.col("caption").alias("_ref_caption"),
+    )
+    j = fetched.join(ref, fetched[id_col] == ref["_ref_id"], "inner")
+    return j.select(
+        id_col,
+        F.round(psnr_udf(F.col("bytes"), F.col("_ref_bytes")), 3).alias("psnr_db"),
+        (psnr_udf(F.col("bytes"), F.col("_ref_bytes")) >= F.lit(min_psnr_db)).alias("psnr_ok"),
+        (F.col("caption") == F.col("_ref_caption")).alias("caption_ok"),
+    )
 
 
 def assert_status_invariant(results: DataFrame, job_status_col: str = "status", result_status_col: str = "result_status") -> None:

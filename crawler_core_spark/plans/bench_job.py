@@ -1,0 +1,90 @@
+"""The benchmark crawl job — shared by bench.py and the two-cluster-size
+scaling evidence (scripts/scaling_bench.py).
+
+One deterministic frontier job: N synthetic URL lines (with
+canonicalization-equivalent duplicate variants), distributed generation
+(spark.range -> native exprs, no driver lists), DNS + denylist + robots
+dimensions, bloom URL-seen, politeness-budgeted batches, image fetch
+join against the synthetic corpus.  Identical inputs at any parallelism
+level -> identical crawl order (the determinism contract).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from crawler_core_spark import synth
+from crawler_core_spark.plans.crawl import CrawlEngine
+from crawler_core_spark.sources.denylist import load_denylist
+from crawler_core_spark.sources.targets import target_lines_df
+from crawler_core_spark.storage import TableStore
+
+
+def run_crawl_job(
+    spark: SparkSession,
+    n_urls: int,
+    images_n: int = 5000,
+    keep_store: bool = False,
+    url_seen_kind: str = "bloom",
+) -> dict:
+    n_hosts = n_urls
+    host_expr = F.concat(
+        F.lit("img-"), F.lpad(F.col("id").cast("string"), 5, "0"), F.lit(".example.net")
+    )
+    lines = spark.range(n_hosts).select(
+        F.col("id").alias("line_no"),
+        F.concat(
+            host_expr,
+            # every 10th line an explicit-default-port dup variant of itself;
+            # these dedup against the bare form via canonicalization
+            F.when(F.col("id") % 10 == 5, F.lit(":443")).otherwise(F.lit("")),
+        ).alias("value"),
+    )
+    targets = target_lines_df(lines)
+    dns = spark.range(n_hosts).select(
+        host_expr.alias("hostname"),
+        F.concat_ws(
+            ".", F.lit("11"),
+            (F.floor(F.col("id") / 65536) % 256).cast("string"),
+            (F.floor(F.col("id") / 256) % 256).cast("string"),
+            (F.col("id") % 256).cast("string"),
+        ).alias("ip"),
+        (F.col("id") % 41 != 0).alias("resolvable"),
+    )
+    dl = load_denylist(spark, lines=synth.DENYLIST_LINES)
+    robots = spark.createDataFrame([("*", "/", True, 0.001)], synth.ROBOTS_SCHEMA)
+
+    root = tempfile.mkdtemp(prefix="bench-wh-")
+    # materialize the image corpus OUTSIDE the timed section: in production
+    # it is a pre-existing Iceberg table, not part of crawl throughput.
+    images_path = f"{root}/_corpus"
+    synth.images_df(spark, min(n_hosts, images_n)).write.mode("overwrite").parquet(images_path)
+    images = spark.read.parquet(images_path)
+    store = TableStore(spark, root)
+    eng = CrawlEngine(
+        spark, store, images, url_seen_kind=url_seen_kind,
+        batch_period=10_000.0, salt_buckets=16,
+        url_seen_kw={"partitions": 64, "m_bits_per_partition": 1 << 22}
+        if url_seen_kind == "bloom" else {},
+    )
+    t0 = time.time()
+    eng.publish(targets, dns, dl, robots, "bs-bench")
+    stats = eng.run()
+    wall = time.time() - t0
+    processed = sum(s.fetched + s.deduped for s in stats)
+    out = {
+        "wall_s": wall,
+        "urls_processed": processed,
+        "urls_per_sec": processed / wall if wall > 0 else 0.0,
+        "batches": len(stats),
+        "store_root": root,
+    }
+    if not keep_store:
+        shutil.rmtree(root, ignore_errors=True)
+        out.pop("store_root")
+    return out

@@ -27,11 +27,13 @@ Tables:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from crawler_core_spark import ERROR_STATUSES
 from crawler_core_spark.operators.fetch import DEFAULT_SCAN_TIMEOUT_MS, fetch_batch
 from crawler_core_spark.operators.publish import (
     bulk_scan_counters,
@@ -106,13 +108,22 @@ class CrawlEngine:
     ) -> dict:
         routed = parse_and_route(targets, dns, denylist, bulk_scan_id, default_port)
 
+        # Materialize the parse->dns->denylist pipeline ONCE (it carries a
+        # pandas UDF + three joins); every downstream consumer (frontier
+        # split, error split, histogram, counts) re-reads the columnar
+        # snapshot with pruning instead of re-executing the plan.
+        jobs_rel = self.store.stage(routed.all_jobs, "all_jobs")
+        all_jobs = self.spark.read.parquet(os.path.join(self.store.root, jobs_rel))
+        frontier_in = all_jobs.filter(F.col("status") == "TO_BE_EXECUTED")
+        error_in = all_jobs.filter(F.col("status").isin(ERROR_STATUSES))
+
         # O6 robots happens at publish: rules are static per crawl.
-        fr = apply_robots(routed.frontier, robots)
+        fr = apply_robots(frontier_in, robots)
         blocked = fr.filter(~F.col("robots_allow"))
         frontier = fr.filter(F.col("robots_allow")).select(*FRONTIER_COLS)
 
         publish_ts = 0.0
-        err = routed.error_results.withColumn("host", F.coalesce("hostname", "ip"))
+        err = error_in.withColumn("host", F.coalesce("hostname", "ip"))
         error_results = (
             err.select(
                 "job_id", "bulk_scan_id", "seq", "hostname", "ip", "port",
@@ -137,13 +148,15 @@ class CrawlEngine:
             .select(*RESULT_COLS)
         )
 
-        hist = {r["status"]: r["count"] for r in status_histogram(routed.all_jobs).collect()}
-        robots_blocked = error_results.filter(F.col("status") == "ROBOTS_BLOCKED").count()
+        hist = {r["status"]: r["count"] for r in status_histogram(all_jobs).collect()}
+        robots_blocked = blocked.count()
         # robots-blocked rows leave TO_BE_EXECUTED accounting (they were
         # routed to the queue by reference semantics, then [EXT]-blocked).
         counters = bulk_scan_counters(hist)
 
-        targets_given = targets.count()
+        # every kept seed line became exactly one job row (T2 routing is
+        # total), so targetsGiven = sum of the histogram — no extra pass.
+        targets_given = int(sum(hist.values()))
         bulk_row = {
             "bulk_scan_id": bulk_scan_id,
             "targets_given": targets_given,

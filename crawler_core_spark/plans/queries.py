@@ -678,7 +678,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return lsh_bucket_topk(e, queries, k=10, n_planes=8)
+    return lsh_bucket_topk(e, queries, k=10, n_planes=4)
 
 
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
