@@ -11,6 +11,7 @@ level -> identical crawl order (the determinism contract).
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 import time
@@ -28,26 +29,32 @@ from crawler_core_spark.storage import TableStore
 def run_crawl_job(
     spark: SparkSession,
     n_urls: int,
-    images_n: int = 5000,
+    images_n: int | None = None,
     keep_store: bool = False,
     url_seen_kind: str = "bloom",
+    img_px: tuple[int, int] = (96, 161),
 ) -> dict:
+    # ~10% of lines are explicit-default-port variants of an earlier host:
+    # they canonicalize identically and exercise the URL-seen dedup path.
     n_hosts = n_urls
-    host_expr = F.concat(
-        F.lit("img-"), F.lpad(F.col("id").cast("string"), 5, "0"), F.lit(".example.net")
+    host_of = lambda c: F.concat(  # noqa: E731
+        F.lit("img-"), F.lpad(c.cast("string"), 5, "0"), F.lit(".example.net")
     )
-    lines = spark.range(n_hosts).select(
-        F.col("id").alias("line_no"),
-        F.concat(
-            host_expr,
-            # every 10th line an explicit-default-port dup variant of itself;
-            # these dedup against the bare form via canonicalization
-            F.when(F.col("id") % 10 == 5, F.lit(":443")).otherwise(F.lit("")),
-        ).alias("value"),
+    base = spark.range(n_hosts).select(
+        (F.col("id") * 2).alias("line_no"), host_of(F.col("id")).alias("value")
     )
+    dups = (
+        spark.range(n_hosts)
+        .filter(F.col("id") % 10 == 5)
+        .select(
+            (F.col("id") * 2 + 1).alias("line_no"),
+            F.concat(host_of(F.col("id")), F.lit(":443")).alias("value"),
+        )
+    )
+    lines = base.unionByName(dups)
     targets = target_lines_df(lines)
     dns = spark.range(n_hosts).select(
-        host_expr.alias("hostname"),
+        host_of(F.col("id")).alias("hostname"),
         F.concat_ws(
             ".", F.lit("11"),
             (F.floor(F.col("id") / 65536) % 256).cast("string"),
@@ -62,8 +69,15 @@ def run_crawl_job(
     root = tempfile.mkdtemp(prefix="bench-wh-")
     # materialize the image corpus OUTSIDE the timed section: in production
     # it is a pre-existing Iceberg table, not part of crawl throughput.
-    images_path = f"{root}/_corpus"
-    synth.images_df(spark, min(n_hosts, images_n)).write.mode("overwrite").parquet(images_path)
+    # Cached across runs — fully deterministic in (n, px, seed).
+    if images_n is None:
+        images_n = n_hosts
+    n_img = min(n_hosts, images_n)
+    images_path = f"/tmp/spark-graft-corpus-{n_img}-{img_px[0]}x{img_px[1]}"
+    if not os.path.exists(os.path.join(images_path, "_SUCCESS")):
+        synth.images_df(
+            spark, n_img, px_min=img_px[0], px_max=img_px[1]
+        ).write.mode("overwrite").parquet(images_path)
     images = spark.read.parquet(images_path)
     store = TableStore(spark, root)
     eng = CrawlEngine(
@@ -74,11 +88,15 @@ def run_crawl_job(
     )
     t0 = time.time()
     eng.publish(targets, dns, dl, robots, "bs-bench")
+    t1 = time.time()
     stats = eng.run()
-    wall = time.time() - t0
+    t2 = time.time()
+    wall = t2 - t0
     processed = sum(s.fetched + s.deduped for s in stats)
     out = {
         "wall_s": wall,
+        "publish_s": t1 - t0,
+        "run_s": t2 - t1,
         "urls_processed": processed,
         "urls_per_sec": processed / wall if wall > 0 else 0.0,
         "batches": len(stats),

@@ -47,6 +47,7 @@ from crawler_core_spark.operators.scheduler import (
     select_batch,
     updated_host_state,
 )
+from crawler_core_spark.operators.rankutil import dense_seq
 from crawler_core_spark.operators.url_seen import make_url_seen
 from crawler_core_spark.plans.monitor import ProgressMonitor
 from crawler_core_spark.storage import TableStore
@@ -220,13 +221,17 @@ class CrawlEngine:
             )
 
             eligible_sel = select_batch(frontier, host_state, clock, self.batch_period)
-            # count eligible (pre-budget) for the deferred counter
-            hs = host_state.select(F.col("host").alias("_h"), "next_fetch_time")
-            eligible_cnt = (
-                frontier.join(hs, frontier["host"] == F.col("_h"), "left")
-                .filter(F.coalesce(F.col("next_fetch_time"), F.lit(0.0)) <= clock)
-                .count()
-            )
+            # count eligible (pre-budget) for the deferred counter; with no
+            # host state yet every pending row is eligible — skip the join.
+            if self.store.exists("host_state"):
+                hs = host_state.select(F.col("host").alias("_h"), "next_fetch_time")
+                eligible_cnt = (
+                    frontier.join(hs, frontier["host"] == F.col("_h"), "left")
+                    .filter(F.coalesce(F.col("next_fetch_time"), F.lit(0.0)) <= clock)
+                    .count()
+                )
+            else:
+                eligible_cnt = remaining
 
             selected = eligible_sel.persist()
             sel_cnt = selected.count()
@@ -251,15 +256,25 @@ class CrawlEngine:
             dup_rows = batch.filter(F.col("dup")).drop("dup").persist()
             dedup_keys = dup_rows.select("url_key")
 
-            fetched = fetch_batch(
+            # persist the decode output first: dense_seq and the commit
+            # below each re-read it, and the image decode must run once.
+            fetched_raw = fetch_batch(
                 salted_repartition(to_fetch, self.salt_buckets),
                 self.images,
                 self.scan_timeout_ms,
+            ).persist()
+            # crawl_pos: dense rank over the batch's total order — computed
+            # distributed (a global window would serialize the batch). The
+            # (priority, seq) order packs into one long: priority < 2^31
+            # (UNRANKED_PRIORITY or an int32 tranco rank), seq < 2^31.
+            fetched = dense_seq(
+                fetched_raw,
+                F.col("priority").cast("long") * F.lit(1 << 32) + F.col("seq"),
+                "crawl_pos",
+                start=offset,
             )
-            w_pos = Window.orderBy("priority", "seq")
             fetched = (
                 fetched.withColumn("batch_id", F.lit(batch_id))
-                .withColumn("crawl_pos", F.lit(offset) + F.row_number().over(w_pos).cast("long") - 1)
                 .withColumn("ts", F.lit(clock))
                 .select(*RESULT_COLS, "host", "crawl_delay", "url_key")
             ).persist()
@@ -360,6 +375,7 @@ class CrawlEngine:
 
             stats.append(BatchStats(batch_id, fetched_cnt, deduped_cnt, deferred_cnt))
             dup_rows.unpersist()
+            fetched_raw.unpersist()
             fetched.unpersist()
             selected.unpersist()
             frontier.unpersist()

@@ -16,12 +16,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from crawler_core_spark.operators.rankutil import dense_seq
+
 
 def _with_seq(df: DataFrame, order_col: str) -> DataFrame:
-    # Deterministic submission order. zipWithIndex-free: the inputs carry an
-    # explicit line number / rank; never rely on task order.
-    w = Window.orderBy(order_col)
-    return df.withColumn("seq", F.row_number().over(w).cast("long") - 1)
+    # Deterministic submission order from the explicit line number / rank —
+    # never from task order.  dense_seq is the distributed rank (a global
+    # row_number window would collapse to one partition and serialize the
+    # downstream parse UDF — the N->4N scaling killer).
+    return dense_seq(df, F.col(order_col), "seq")
 
 
 def target_file_df(spark: SparkSession, path: str | None = None, lines: list[str] | None = None) -> DataFrame:

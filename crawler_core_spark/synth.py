@@ -38,10 +38,13 @@ def _rng_for(seed: int, idx: int) -> np.random.Generator:
     return np.random.default_rng(mixed)
 
 
-def make_image_row(idx: int, seed: int = 42, corrupt_every: int = 97) -> dict:
+def make_image_row(
+    idx: int, seed: int = 42, corrupt_every: int = 97,
+    px_min: int = 32, px_max: int = 65,
+) -> dict:
     rng = _rng_for(seed, idx)
-    w = int(rng.integers(32, 65))
-    h = int(rng.integers(32, 65))
+    w = int(rng.integers(px_min, px_max))
+    h = int(rng.integers(px_min, px_max))
     # gradient + noise => non-degenerate PSNR
     gx = np.linspace(0, 255, w, dtype=np.float64)[None, :, None]
     gy = np.linspace(0, 255, h, dtype=np.float64)[:, None, None]
@@ -63,15 +66,22 @@ def make_image_row(idx: int, seed: int = 42, corrupt_every: int = 97) -> dict:
     }
 
 
-def images_df(spark: SparkSession, n: int, seed: int = 42, corrupt_every: int = 97) -> DataFrame:
+def images_df(
+    spark: SparkSession, n: int, seed: int = 42, corrupt_every: int = 97,
+    px_min: int = 32, px_max: int = 65,
+) -> DataFrame:
     """Distributed deterministic images table (no driver materialization)."""
 
     def gen(batches):
         for pdf in batches:
-            rows = [make_image_row(int(i), seed, corrupt_every) for i in pdf["id"]]
+            rows = [
+                make_image_row(int(i), seed, corrupt_every, px_min, px_max)
+                for i in pdf["id"]
+            ]
             yield pd.DataFrame(rows)
 
-    return spark.range(n).repartition(max(8, n // 5000)).mapInPandas(gen, IMAGES_SCHEMA)
+    parts = max(spark.sparkContext.defaultParallelism, n // 5000)
+    return spark.range(n).repartition(parts).mapInPandas(gen, IMAGES_SCHEMA)
 
 
 def images_pandas(n: int, seed: int = 42, corrupt_every: int = 97) -> pd.DataFrame:

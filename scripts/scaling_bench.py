@@ -4,7 +4,12 @@ at local[8] and local[32] on identical input; we report throughput at
 both, efficiency T(32)/(4*T(8)), and assert crawl-order + URL-seen
 equality between the runs. Appends the measurement to BENCH/BASELINE.md.
 
+Each parallelism level runs in its own subprocess: two SparkSessions in
+one JVM contaminate each other's timing (measured 2.4x slowdown on the
+second session).
+
 Usage: python scripts/scaling_bench.py [n_urls]
+       python scripts/scaling_bench.py --run <cores> <n_urls> <out_json>
 """
 
 from __future__ import annotations
@@ -12,54 +17,58 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from crawler_core_spark.plans.bench_job import run_crawl_job
-from crawler_core_spark.session import get_spark
-from crawler_core_spark.storage import TableStore
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
-def crawl_order_and_seen(spark, root: str):
-    store = TableStore(spark, root)
+def run_one(cores: int, n_urls: int, out_json: str) -> None:
+    from crawler_core_spark.plans.bench_job import run_crawl_job
+    from crawler_core_spark.session import get_spark
+    from crawler_core_spark.storage import TableStore
+
+    spark = get_spark(app_name=f"scaling-{cores}", master=f"local[{cores}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    r = run_crawl_job(spark, n_urls, keep_store=True)
+    store = TableStore(spark, r["store_root"])
     rows = store.read("results").select("seq", "crawl_pos", "url_canon").collect()
-    order = sorted(
-        (r["crawl_pos"], r["seq"]) for r in rows if r["crawl_pos"] is not None
+    r["order"] = sorted(
+        [r_["seq"], r_["crawl_pos"]] for r_ in rows if r_["crawl_pos"] is not None
     )
-    seen = {r["url_canon"] for r in rows if r["crawl_pos"] is not None}
-    return order, seen
+    r["seen"] = sorted({r_["url_canon"] for r_ in rows if r_["crawl_pos"] is not None})
+    with open(out_json, "w") as f:
+        json.dump(r, f)
+    spark.stop()
 
 
 def main() -> None:
-    n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    if len(sys.argv) > 1 and sys.argv[1] == "--run":
+        run_one(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+        return
+
+    n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
     results = {}
-    stores = {}
     for cores in (8, 32):
-        spark = get_spark(app_name=f"scaling-{cores}", master=f"local[{cores}]")
-        spark.sparkContext.setLogLevel("ERROR")
-        r = run_crawl_job(spark, n_urls, keep_store=True)
-        results[cores] = r
-        stores[cores] = r["store_root"]
-        order, seen = crawl_order_and_seen(spark, r["store_root"])
-        results[cores]["order_len"] = len(order)
-        results[cores]["_order"] = order
-        results[cores]["_seen"] = seen
-        spark.stop()
+        out = f"/tmp/scaling_{cores}.json"
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run", str(cores), str(n_urls), out],
+            check=True, cwd=REPO,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        with open(out) as f:
+            results[cores] = json.load(f)
+        shutil.rmtree(results[cores].pop("store_root"), ignore_errors=True)
 
-    same_order = results[8].pop("_order") == results[32].pop("_order")
-    same_seen = results[8].pop("_seen") == results[32].pop("_seen")
-    for root in stores.values():
-        shutil.rmtree(root, ignore_errors=True)
-
+    same_order = results[8].pop("order") == results[32].pop("order")
+    same_seen = results[8].pop("seen") == results[32].pop("seen")
     t8, t32 = results[8]["urls_per_sec"], results[32]["urls_per_sec"]
     eff = t32 / (4 * t8) if t8 > 0 else 0.0
     out = {
         "n_urls": n_urls,
-        "local8": {k: round(v, 2) if isinstance(v, float) else v
-                   for k, v in results[8].items() if not k.startswith("store")},
-        "local32": {k: round(v, 2) if isinstance(v, float) else v
-                    for k, v in results[32].items() if not k.startswith("store")},
+        "local8": {k: round(v, 2) if isinstance(v, float) else v for k, v in results[8].items()},
+        "local32": {k: round(v, 2) if isinstance(v, float) else v for k, v in results[32].items()},
         "scaling_efficiency": round(eff, 3),
         "speedup_8_to_32": round(t32 / t8, 2) if t8 else 0.0,
         "crawl_order_equal": same_order,
@@ -67,8 +76,8 @@ def main() -> None:
     }
     print(json.dumps(out))
 
-    os.makedirs("BENCH", exist_ok=True)
-    path = "BENCH/BASELINE.md"
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
     header = not os.path.exists(path)
     with open(path, "a") as f:
         if header:
@@ -77,7 +86,7 @@ def main() -> None:
                 "Same frontier job (publish -> bloom URL-seen -> politeness "
                 "batches -> fetch join) on identical deterministic input at "
                 "two parallelism levels (sandbox stand-in for N vs 4N "
-                "executors). Efficiency = T(32) / (4 * T(8)).\n\n"
+                "executors), one subprocess each. Efficiency = T(32) / (4 * T(8)).\n\n"
                 "| n_urls | T(8) urls/s | T(32) urls/s | speedup | efficiency "
                 "| order equal | seen equal |\n|---|---|---|---|---|---|---|\n"
             )
