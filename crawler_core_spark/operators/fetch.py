@@ -38,38 +38,48 @@ def fetch_batch(
     batch: DataFrame,
     images: DataFrame,
     scan_timeout_ms: float = DEFAULT_SCAN_TIMEOUT_MS,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """batch (scheduled, deduped rows) -> fetched rows with terminal status.
 
     ``fetch_cost_ms`` is the deterministic stand-in for wall-clock fetch
     time: proportional to payload pixels (w*h), so the CANCELLED path is
     exercised by data, not by sleeping.
+
+    Join strategy (SURVEY.md §4 item 4 — byte-column hygiene): the batch
+    is politeness-budget-bounded and slim, so it is BROADCAST against the
+    streamed corpus scan; the 50 KB ``bytes`` column is decoded map-side
+    on the scan partitions and NEVER shuffled.  (A plain batch-left-join
+    picks a sort-merge join that shuffles the whole corpus payload — at
+    bench scale that alone was >5 GB of shuffle.)  Corpus misses (EMPTY)
+    come from a broadcast anti-join against the slim image_id projection.
+
+    ``broadcast_batch=False`` is the giant-batch fallback (batch too big to
+    broadcast): a salted shuffle join — the caller pre-salts the batch
+    (operators/scheduler.py:salted_repartition) so a hot host cannot pin
+    one reducer; the corpus side then shuffles, which is the price of an
+    over-budget batch.
     """
     b = batch.withColumn("image_id", image_id_from_host(F.col("host")))
+
     img = images.select(
         F.col("image_id").alias("_img_id"),
         F.col("bytes").alias("_bytes"),
         F.col("caption").alias("_caption"),
-        F.col("phash").alias("_phash_expected"),
     )
-    j = b.join(img, b["image_id"] == img["_img_id"], "left")
-
-    j = j.withColumn(
-        "_meta",
-        F.when(F.col("_bytes").isNotNull(), decode_meta_udf(F.col("_bytes"))),
-    ).withColumn(
+    bcast = F.broadcast(b) if broadcast_batch else b
+    hits = img.join(bcast, b["image_id"] == img["_img_id"], "inner")
+    hits = hits.withColumn("_meta", decode_meta_udf(F.col("_bytes"))).withColumn(
         "fetch_cost_ms",
         (F.col("_meta.w").cast("double") * F.col("_meta.h").cast("double")),
     )
-
-    status = (
-        F.when(F.col("_bytes").isNull(), F.lit("EMPTY"))
-        .when(~F.coalesce(F.col("_meta.ok"), F.lit(False)), F.lit("ERROR"))
+    hit_status = (
+        F.when(~F.coalesce(F.col("_meta.ok"), F.lit(False)), F.lit("ERROR"))
         .when(F.col("fetch_cost_ms") > F.lit(scan_timeout_ms), F.lit("CANCELLED"))
         .otherwise(F.lit("SUCCESS"))
     )
-    return (
-        j.withColumn("status", status)
+    hits = (
+        hits.withColumn("status", hit_status)
         .withColumn(
             "result_caption",
             F.when(F.col("status") == "SUCCESS", F.col("_caption")),
@@ -81,5 +91,18 @@ def fetch_batch(
         .withColumn("result_w", F.col("_meta.w"))
         .withColumn("result_h", F.col("_meta.h"))
         .withColumn("result_fmt", F.col("_meta.fmt"))
-        .drop("_img_id", "_bytes", "_caption", "_phash_expected", "_meta")
+        .drop("_img_id", "_bytes", "_caption", "_meta")
     )
+
+    ids = F.broadcast(images.select(F.col("image_id").alias("_img_id")))
+    misses = (
+        b.join(ids, b["image_id"] == F.col("_img_id"), "left_anti")
+        .withColumn("status", F.lit("EMPTY"))
+        .withColumn("fetch_cost_ms", F.lit(None).cast("double"))
+        .withColumn("result_caption", F.lit(None).cast("string"))
+        .withColumn("result_phash", F.lit(None).cast("long"))
+        .withColumn("result_w", F.lit(None).cast("int"))
+        .withColumn("result_h", F.lit(None).cast("int"))
+        .withColumn("result_fmt", F.lit(None).cast("string"))
+    )
+    return hits.unionByName(misses.select(*hits.columns))

@@ -100,6 +100,7 @@ def run_crawl_job(
         "urls_processed": processed,
         "urls_per_sec": processed / wall if wall > 0 else 0.0,
         "batches": len(stats),
+        "step_timings": eng.step_timings,
         "store_root": root,
     }
     if not keep_store:

@@ -28,6 +28,7 @@ Tables:
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -86,6 +87,7 @@ class CrawlEngine:
         scan_timeout_ms: float = DEFAULT_SCAN_TIMEOUT_MS,
         salt_buckets: int = 8,
         url_seen_kw: dict | None = None,
+        broadcast_fetch_limit: int = 4_000_000,
     ):
         self.spark = spark
         self.store = store
@@ -93,7 +95,14 @@ class CrawlEngine:
         self.batch_period = batch_period
         self.scan_timeout_ms = scan_timeout_ms
         self.salt_buckets = salt_buckets
+        self.broadcast_fetch_limit = broadcast_fetch_limit
         self.url_seen = make_url_seen(store, url_seen_kind, **(url_seen_kw or {}))
+        self.step_timings: list[dict] = []  # per-batch driver-step seconds
+
+    def _tick(self, timings: dict, label: str, t0: float) -> float:
+        now = time.time()
+        timings[label] = round(timings.get(label, 0.0) + (now - t0), 3)
+        return now
 
     # ------------------------------------------------------------------
     # publish (§3.1)
@@ -207,9 +216,17 @@ class CrawlEngine:
         monitor = ProgressMonitor(expected_total=published)
 
         stats: list[BatchStats] = []
+        # driver-tracked frontier size: counted once on entry/resume, then
+        # maintained arithmetically (remaining -= selected) — saves one full
+        # table-scan job per batch and the final empty-check scan.
+        remaining: int | None = None
         while max_batches is None or len(stats) < int(max_batches):
+            timings: dict = {}
+            t = time.time()
             frontier = self.store.read("frontier").persist()
-            remaining = frontier.count()
+            if remaining is None:
+                remaining = frontier.count()
+            t = self._tick(timings, "frontier_read", t)
             if remaining == 0:
                 frontier.unpersist()
                 break
@@ -232,9 +249,11 @@ class CrawlEngine:
                 )
             else:
                 eligible_cnt = remaining
+            t = self._tick(timings, "eligible", t)
 
             selected = eligible_sel.persist()
             sel_cnt = selected.count()
+            t = self._tick(timings, "select_batch", t)
             if sel_cnt == 0:
                 # every eligible host throttled: advance virtual time
                 selected.unpersist()
@@ -258,10 +277,19 @@ class CrawlEngine:
 
             # persist the decode output first: dense_seq and the commit
             # below each re-read it, and the image decode must run once.
+            # Budget-bounded batches broadcast against the streamed corpus
+            # (bytes never shuffle); over-budget batches fall back to the
+            # salted shuffle join (hot-host skew defused by the salt).
+            use_bcast = sel_cnt <= self.broadcast_fetch_limit
+            fetch_src = (
+                to_fetch if use_bcast
+                else salted_repartition(to_fetch, self.salt_buckets)
+            )
             fetched_raw = fetch_batch(
-                salted_repartition(to_fetch, self.salt_buckets),
+                fetch_src,
                 self.images,
                 self.scan_timeout_ms,
+                broadcast_batch=use_bcast,
             ).persist()
             # crawl_pos: dense rank over the batch's total order — computed
             # distributed (a global window would serialize the batch). The
@@ -281,6 +309,7 @@ class CrawlEngine:
             fetched_cnt = fetched.count()
             deduped_cnt = sel_cnt - fetched_cnt
             deferred_cnt = eligible_cnt - sel_cnt
+            t = self._tick(timings, "fetch_decode_rank", t)
 
             # ---- stage the atomic batch commit -------------------------
             # deduped rows reach a terminal state too ([EXT] status DEDUPED):
@@ -306,9 +335,11 @@ class CrawlEngine:
             new_host_state = updated_host_state(
                 host_state, fetched.select("host", "crawl_delay"), clock
             )
+            t = self._tick(timings, "plan_updates", t)
             seen_table, seen_staged = self.url_seen.stage_add(
                 fetched.select("url_key")
             )
+            t = self._tick(timings, "stage_seen_write", t)
             lineage = (
                 fetched.select(F.pmod(F.col("url_key"), F.lit(LINEAGE_PARTITIONS)).alias("partition_id"))
                 .groupBy("partition_id")
@@ -338,13 +369,17 @@ class CrawlEngine:
                 .select("batch_id", "partition_id", "fetched", "deduped", "deferred", "robots_blocked")
             )
 
-            staged = {
-                "results": ("append", self.store.stage(results_out, "results")),
-                "frontier": ("replace", self.store.stage(new_frontier, "frontier")),
-                "host_state": ("replace", self.store.stage(new_host_state, "host_state")),
-                seen_table: seen_staged,
-                "counters": ("append", self.store.stage(lineage, "counters")),
-            }
+            staged = {}
+            staged["results"] = ("append", self.store.stage(results_out, "results"))
+            t = self._tick(timings, "stage_results", t)
+            staged["frontier"] = ("replace", self.store.stage(new_frontier, "frontier"))
+            t = self._tick(timings, "stage_frontier", t)
+            staged["host_state"] = ("replace", self.store.stage(new_host_state, "host_state"))
+            t = self._tick(timings, "stage_host_state", t)
+            staged[seen_table] = seen_staged
+            t = self._tick(timings, "stage_seen", t)
+            staged["counters"] = ("append", self.store.stage(lineage, "counters"))
+            t = self._tick(timings, "stage_counters", t)
             clock_next = clock + self.batch_period
             self.store.commit(
                 staged,
@@ -360,6 +395,8 @@ class CrawlEngine:
                 },
             )
 
+            t = self._tick(timings, "commit", t)
+
             # A2-A4 driver-side monitoring over the per-batch statuses
             batch_statuses = [
                 r["status"]
@@ -367,6 +404,8 @@ class CrawlEngine:
                 for _ in range(r["count"])
             ]
             monitor.on_batch(batch_statuses, now=clock_next)
+            t = self._tick(timings, "monitor", t)
+            self.step_timings.append(timings)
             if verbose:
                 print(
                     f"batch {batch_id}: fetched={fetched_cnt} deduped={deduped_cnt} "
@@ -379,6 +418,7 @@ class CrawlEngine:
             fetched.unpersist()
             selected.unpersist()
             frontier.unpersist()
+            remaining -= sel_cnt
             offset += fetched_cnt
             clock = clock_next
             batch_id += 1
