@@ -31,8 +31,10 @@ import os
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
+
+from crawler_core_spark import STATUS_NAMES
 
 from crawler_core_spark import ERROR_STATUSES
 from crawler_core_spark.operators.fetch import DEFAULT_SCAN_TIMEOUT_MS, fetch_batch
@@ -116,21 +118,44 @@ class CrawlEngine:
         bulk_scan_id: str,
         default_port: int = 443,
     ) -> dict:
+        timings: dict = {}
+        t = time.time()
         routed = parse_and_route(targets, dns, denylist, bulk_scan_id, default_port)
 
         # Materialize the parse->dns->denylist pipeline ONCE (it carries a
         # pandas UDF + three joins); every downstream consumer (frontier
-        # split, error split, histogram, counts) re-reads the columnar
-        # snapshot with pruning instead of re-executing the plan.
-        jobs_rel = self.store.stage(routed.all_jobs, "all_jobs")
+        # split, error split, counts) re-reads the columnar snapshot with
+        # pruning instead of re-executing the plan.  The A1 histogram rides
+        # the same write as an Observation — no separate aggregation job.
+        hist_obs = Observation()
+        observed = routed.all_jobs.observe(
+            hist_obs,
+            *[
+                F.count(F.when(F.col("status") == s, 1)).alias(s)
+                for s in STATUS_NAMES
+            ],
+        )
+        jobs_rel = self.store.stage(observed, "all_jobs")
         all_jobs = self.spark.read.parquet(os.path.join(self.store.root, jobs_rel))
+        hist = {s: int(n) for s, n in hist_obs.get.items() if n}
+        t = self._tick(timings, "pub_parse_stage", t)
         frontier_in = all_jobs.filter(F.col("status") == "TO_BE_EXECUTED")
         error_in = all_jobs.filter(F.col("status").isin(ERROR_STATUSES))
 
-        # O6 robots happens at publish: rules are static per crawl.
+        # O6 robots happens at publish: rules are static per crawl. The
+        # robots-blocked count rides the frontier write (observe before the
+        # filter sees the blocked rows) — no separate count job.
+        robots_obs = Observation()
         fr = apply_robots(frontier_in, robots)
         blocked = fr.filter(~F.col("robots_allow"))
-        frontier = fr.filter(F.col("robots_allow")).select(*FRONTIER_COLS)
+        frontier = (
+            fr.observe(
+                robots_obs,
+                F.count(F.when(~F.col("robots_allow"), 1)).alias("blocked"),
+            )
+            .filter(F.col("robots_allow"))
+            .select(*FRONTIER_COLS)
+        )
 
         publish_ts = 0.0
         err = error_in.withColumn("host", F.coalesce("hostname", "ip"))
@@ -158,8 +183,15 @@ class CrawlEngine:
             .select(*RESULT_COLS)
         )
 
-        hist = {r["status"]: r["count"] for r in status_histogram(all_jobs).collect()}
-        robots_blocked = blocked.count()
+        t = self._tick(timings, "pub_plan", t)
+
+        staged = {}
+        staged["frontier"] = ("replace", self.store.stage(frontier, "frontier"))
+        robots_blocked = int(robots_obs.get["blocked"])
+        t = self._tick(timings, "pub_stage_frontier", t)
+        staged["results"] = ("append", self.store.stage(error_results, "results"))
+        t = self._tick(timings, "pub_stage_results", t)
+
         # robots-blocked rows leave TO_BE_EXECUTED accounting (they were
         # routed to the queue by reference semantics, then [EXT]-blocked).
         counters = bulk_scan_counters(hist)
@@ -183,13 +215,10 @@ class CrawlEngine:
             [(-1, -1, 0, 0, 0, int(robots_blocked))],
             "batch_id: int, partition_id: int, fetched: long, deduped: long, deferred: long, robots_blocked: long",
         )
-
-        staged = {
-            "frontier": ("replace", self.store.stage(frontier, "frontier")),
-            "results": ("append", self.store.stage(error_results, "results")),
-            "bulk_scans": ("append", self.store.stage(bulk_df, "bulk_scans")),
-            "counters": ("append", self.store.stage(lineage, "counters")),
-        }
+        staged["bulk_scans"] = ("append", self.store.stage(bulk_df, "bulk_scans"))
+        staged["counters"] = ("append", self.store.stage(lineage, "counters"))
+        t = self._tick(timings, "pub_stage_meta", t)
+        self.step_timings.append(timings)
         self.store.commit(
             staged,
             meta={
@@ -306,8 +335,6 @@ class CrawlEngine:
                 .withColumn("ts", F.lit(clock))
                 .select(*RESULT_COLS, "host", "crawl_delay", "url_key")
             ).persist()
-            fetched_cnt = fetched.count()
-            deduped_cnt = sel_cnt - fetched_cnt
             deferred_cnt = eligible_cnt - sel_cnt
             t = self._tick(timings, "fetch_decode_rank", t)
 
@@ -328,7 +355,20 @@ class CrawlEngine:
                 .withColumn("fetch_cost_ms", F.lit(None).cast("double"))
                 .select(*RESULT_COLS)
             )
-            results_out = fetched.select(*RESULT_COLS).unionByName(dedup_results)
+            # per-status counts + fetched/deduped split ride the results
+            # write as an Observation — no separate count/collect jobs.
+            res_obs = Observation()
+            results_out = (
+                fetched.select(*RESULT_COLS)
+                .unionByName(dedup_results)
+                .observe(
+                    res_obs,
+                    *[
+                        F.count(F.when(F.col("status") == s, 1)).alias(s)
+                        for s in STATUS_NAMES
+                    ],
+                )
+            )
             new_frontier = frontier.join(
                 selected.select("job_id"), "job_id", "left_anti"
             ).select(*FRONTIER_COLS)
@@ -371,6 +411,11 @@ class CrawlEngine:
 
             staged = {}
             staged["results"] = ("append", self.store.stage(results_out, "results"))
+            batch_counts = {s: int(n) for s, n in res_obs.get.items() if n}
+            fetched_cnt = sum(
+                n for s, n in batch_counts.items() if s != "DEDUPED"
+            )
+            deduped_cnt = batch_counts.get("DEDUPED", 0)
             t = self._tick(timings, "stage_results", t)
             staged["frontier"] = ("replace", self.store.stage(new_frontier, "frontier"))
             t = self._tick(timings, "stage_frontier", t)
@@ -398,10 +443,14 @@ class CrawlEngine:
             t = self._tick(timings, "commit", t)
 
             # A2-A4 driver-side monitoring over the per-batch statuses
+            # (already observed on the results write; DEDUPED rows never
+            # went through the worker, mirroring the reference's
+            # done-notification stream)
             batch_statuses = [
-                r["status"]
-                for r in fetched.groupBy("status").count().collect()
-                for _ in range(r["count"])
+                s
+                for s, n in sorted(batch_counts.items())
+                if s != "DEDUPED"
+                for _ in range(n)
             ]
             monitor.on_batch(batch_statuses, now=clock_next)
             t = self._tick(timings, "monitor", t)

@@ -28,6 +28,12 @@ def get_spark(
         n = int(master[master.index("[") + 1 : -1]) if "[" in master else 32
         shuffle_partitions = max(8, 2 * n) if str(n) != "*" else 64
 
+    # one BLAS thread per python worker: N workers x M BLAS spin-threads
+    # otherwise oversubscribe the box into a context-switch storm (measured
+    # as 30% sys time with idle CPUs during pandas-UDF stages).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
