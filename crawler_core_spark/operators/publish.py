@@ -65,12 +65,15 @@ def parse_and_route(
         "seq", "target", "_p.*"
     )
 
-    dnsb = F.broadcast(
-        dns.select(
-            F.col("hostname").alias("_dns_host"),
-            F.col("ip").alias("_dns_ip"),
-            F.col("resolvable").alias("_dns_ok"),
-        )
+    # J3: no forced broadcast — the dns table scales WITH the frontier
+    # (a 10^10-URL crawl has a billion-host resolver map), so the join
+    # strategy is left to Catalyst/AQE: tiny mock tables auto-broadcast
+    # under the threshold, big ones co-shuffle on hostname. Forcing
+    # broadcast serialized a 1M-row dns table through the driver.
+    dnsb = dns.select(
+        F.col("hostname").alias("_dns_host"),
+        F.col("ip").alias("_dns_ip"),
+        F.col("resolvable").alias("_dns_ok"),
     )
     j = p.join(dnsb, p["resolve_host"] == dnsb["_dns_host"], "left")
 
