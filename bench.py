@@ -11,7 +11,7 @@ the SURVEY §2 suite at $SPARK_GRAFT_SF_DIR.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     BENCH_FRONTIER_URLS (default 30000).
+     BENCH_FRONTIER_URLS (default 120000).
 """
 
 from __future__ import annotations
@@ -31,7 +31,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    n_urls = int(os.environ.get("BENCH_FRONTIER_URLS", "30000"))
+    n_urls = int(os.environ.get("BENCH_FRONTIER_URLS", "120000"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
 
     spark = get_spark(app_name="crawler-core-bench", master=f"local[{cpus}]")
