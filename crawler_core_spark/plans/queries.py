@@ -736,3 +736,44 @@ ORACLE_SQL = {
     # (xxhash64 / FNV bit math / approximate) — rows-only driver check;
     # pytest pins them against exact references.
 }
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) — the lag/cumulative-sum
+    window idiom a crawl-log pipeline uses for per-host visit sessions."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        e.withColumn("new_sess", new_sess)
+        .withColumn("session_no", F.sum("new_sess").over(w).cast("long"))
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_v"),
+        )
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, value, ts,
+         floor(epoch(ts)) - floor(epoch(lag(ts) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id))) AS gap
+  FROM events
+), s AS (
+  SELECT user_id, event_id, value,
+         CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM g
+)
+SELECT user_id, session_no, count(*) AS n_events, round(sum(value), 4) AS sum_v
+FROM s GROUP BY user_id, session_no
+"""
+
+QUERIES["events_sessionize"] = q_events_sessionize
+ORACLE_SQL["events_sessionize"] = SQL_EVENTS_SESSIONIZE
