@@ -1,0 +1,152 @@
+"""CLI entry point — ``CommonMain.java:39-87`` as a spark-submit main.
+
+The reference ships two commands, ``controller`` (publish targets, track
+progress) and ``worker`` (consume the queue, persist results).  In the
+dataflow engine those map onto:
+
+- ``controller`` — publish the target list into a warehouse (frontier +
+  error results + bulk_scans), then run the crawl loop to completion and
+  finalize.  One spark-submit run == the reference's controller+worker
+  pair on a single box.
+- ``worker``     — resume an EXISTING warehouse's frontier (the analogue
+  of attaching another worker to the queue: the commit log hands over
+  exactly-once, K6), run until drained.
+- ``compact``    — storage maintenance (snapshot compaction).
+
+Flag names/defaults mirror ``config/ControllerCommandConfig.java:41-80``
+(-portToBeScanned 443, -reexecutions 3, -parallelProbes 1, -exclude,
+-scanName, -notifyUrl, -monitor) and ``WorkerCommandConfig.java:27-44``.
+
+Usage:
+    spark-submit -m crawler_core_spark controller \
+        -hostFile targets.txt -warehouse /tmp/wh -images images.parquet \
+        [-denylist deny.txt] [-dns dns.parquet] [-reexecutions 3] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="crawler_core_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    c = sub.add_parser("controller", help="publish + crawl + finalize")
+    c.add_argument("-hostFile", required=True, help="target list file (S1)")
+    c.add_argument("-warehouse", required=True, help="store root directory")
+    c.add_argument("-images", required=True, help="images corpus parquet path")
+    c.add_argument("-denylist", default=None, help="denylist file (S5)")
+    c.add_argument("-dns", default=None,
+                   help="dns table parquet (hostname, ip, resolvable); "
+                        "no live DNS in this engine")
+    c.add_argument("-robots", default=None,
+                   help="robots rules parquet (host, path_prefix, allow, crawl_delay)")
+    c.add_argument("-portToBeScanned", type=int, default=443)
+    c.add_argument("-scanDetail", default="NORMAL")
+    c.add_argument("-timeout", type=float, default=840_000.0,
+                   help="scan timeout in ms (deadline-as-data)")
+    c.add_argument("-reexecutions", type=int, default=3)
+    c.add_argument("-parallelProbes", type=int, default=1)
+    c.add_argument("-exclude", default="",
+                   help="comma-separated excluded probe names")
+    c.add_argument("-scanName", default="bulk-scan")
+    c.add_argument("-notifyUrl", default=None)
+    c.add_argument("-monitor", action="store_true")
+    c.add_argument("-urlSeen", choices=["exact", "bloom"], default="bloom")
+    c.add_argument("-batchPeriod", type=float, default=10.0)
+    c.add_argument("-maxBatches", type=int, default=None)
+
+    w = sub.add_parser("worker", help="resume an existing warehouse frontier")
+    w.add_argument("-warehouse", required=True)
+    w.add_argument("-images", required=True)
+    w.add_argument("-urlSeen", choices=["exact", "bloom"], default="bloom")
+    w.add_argument("-batchPeriod", type=float, default=10.0)
+    w.add_argument("-maxBatches", type=int, default=None)
+
+    k = sub.add_parser("compact", help="compact a table's snapshots")
+    k.add_argument("-warehouse", required=True)
+    k.add_argument("-table", default="results")
+    return p
+
+
+def _spark(app: str) -> SparkSession:
+    return (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    # imports deferred so --help costs no Spark startup
+    from crawler_core_spark.config import ScanConfig
+    from crawler_core_spark.plans.crawl import CrawlEngine
+    from crawler_core_spark.storage import TableStore
+
+    spark = _spark(f"crawler-core-spark-{args.command}")
+    store = TableStore(spark, args.warehouse)
+
+    if args.command == "compact":
+        cid = store.compact(args.table)
+        print(f"compacted {args.table} at commit {cid}")
+        return 0
+
+    images = spark.read.parquet(args.images)
+    eng = CrawlEngine(
+        spark, store, images,
+        url_seen_kind=args.urlSeen,
+        batch_period=args.batchPeriod,
+    )
+
+    if args.command == "controller":
+        from crawler_core_spark.sources.denylist import load_denylist
+        from crawler_core_spark.sources.targets import target_file_df
+        from crawler_core_spark.synth import ROBOTS_SCHEMA
+
+        targets = target_file_df(spark, path=args.hostFile)
+        dns = (
+            spark.read.parquet(args.dns)
+            if args.dns
+            else spark.createDataFrame(
+                [], "hostname: string, ip: string, resolvable: boolean"
+            )
+        )
+        denylist = load_denylist(
+            spark, path=args.denylist
+        ) if args.denylist else load_denylist(spark, lines=[])
+        robots = (
+            spark.read.parquet(args.robots)
+            if args.robots
+            else spark.createDataFrame([("*", "/", True, 1.0)], ROBOTS_SCHEMA)
+        )
+        cfg = ScanConfig(
+            scanner_detail=args.scanDetail,
+            reexecutions=args.reexecutions,
+            timeout_ms=args.timeout,
+            parallel_probes=args.parallelProbes,
+            excluded_probes=tuple(
+                x for x in args.exclude.split(",") if x
+            ),
+        )
+        bulk = eng.publish(
+            targets, dns, denylist, robots, args.scanName,
+            default_port=args.portToBeScanned, scan_config=cfg,
+            monitored=args.monitor, notify_url=args.notifyUrl,
+        )
+        print(f"published: {bulk}")
+        stats = eng.run(max_batches=args.maxBatches, verbose=True)
+        roll = eng.finalize(args.scanName)
+        print(f"finalized: {roll} in {len(stats)} batches")
+    else:  # worker
+        stats = eng.run(max_batches=args.maxBatches, verbose=True)
+        print(f"worker drained frontier in {len(stats)} batches")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

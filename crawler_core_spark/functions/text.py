@@ -3,19 +3,16 @@
 The reference has no text analytics; these are the corpus-hygiene
 operators a 100 TB crawl corpus needs (BASELINE "training-data pipeline"
 mandate): tokenization, quality scoring, language-ID heuristic, document
-fingerprinting, simhash.  Everything scalar stays in native
-``pyspark.sql.functions`` (JVM, whole-stage codegen); only simhash — a
-per-document reduction over token hashes — uses a vectorized pandas UDF.
+fingerprinting, simhash.  Everything — including simhash — stays in
+native ``pyspark.sql.functions`` (JVM, whole-stage codegen); there is no
+Python in any of these plans.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
 
 STOPWORDS = ("the", "a", "and", "of", "to")
 
@@ -79,18 +76,61 @@ def fingerprint_col(text: str | Column = "text") -> Column:
 
 
 # ---------------------------------------------------------------------------
-# simhash — vectorized pandas UDF (per-doc reduction over token hashes)
+# simhash — all-JVM: explode -> xxhash64 per token -> 64 bit-sum aggregates
 # ---------------------------------------------------------------------------
 
-def _simhash_tokens(tok_lists) -> list[int]:
+def simhash_df(df, id_col: str, text_col: str):
+    """64-bit simhash per document, entirely native (whole-stage codegen,
+    no Python in the plan): explode tokens -> ``xxhash64(token)`` -> per
+    bit j, sum(2*bit_j - 1) > 0 decides bit j of the fingerprint.
+
+    The shuffle carries 65 longs per (doc, partial) with map-side combine
+    — at 10^10 docs this is the linear all-JVM path (the previous pandas
+    UDF ran a per-token pure-Python FNV loop: the round-1 scale offender).
+    Tokenless/empty docs fingerprint to 0.  Returns DataFrame[id, simhash].
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+    hashed = toks.withColumn("h", F.xxhash64(F.col("tok")))
+    aggs = [
+        F.sum(F.expr(f"shiftrightunsigned(h, {j}) & 1")).alias(f"b{j}")
+        for j in range(64)
+    ] + [F.count(F.lit(1)).alias("n")]
+    per_doc = hashed.groupBy(id_col).agg(*aggs)
+    # bit j set iff acc_j = 2*b_j - n > 0; bit 63 contributes the sign
+    # value -2^63 (signed int64 two's complement).
+    terms = [
+        F.when(
+            F.col(f"b{j}") * 2 > F.col("n"),
+            F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for j in range(64)
+    ]
+    val = terms[0]
+    for t in terms[1:]:
+        val = val + t
+    fp = per_doc.select(F.col(id_col), val.alias("simhash"))
+    # left join back: docs with zero tokens (empty/whitespace) -> 0
+    return (
+        df.select(id_col)
+        .join(fp, id_col, "left")
+        .select(F.col(id_col), F.coalesce(F.col("simhash"), F.lit(0)).alias("simhash"))
+    )
+
+
+def _simhash_tokens(tok_lists, hash_fn=None) -> list[int]:
+    """Pure-Python simhash reference for pytest (NOT in any Spark plan).
+
+    ``hash_fn`` defaults to FNV-1a (PYTHONHASHSEED-independent); tests of
+    the native path pass the Spark-computed xxhash64 per token so the
+    bit-aggregation math is verified independently of the hash function.
+    """
+    hash_fn = hash_fn or _str_hash64
     out = []
     for toks in tok_lists:
         if toks is None or len(toks) == 0:
             out.append(0)
             continue
-        hs = np.array(
-            [_str_hash64(t) for t in toks], dtype=np.uint64
-        )
+        hs = np.array([hash_fn(t) for t in toks], dtype=np.uint64)
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
             np.int64
         )
@@ -104,17 +144,12 @@ def _simhash_tokens(tok_lists) -> list[int]:
 
 
 def _str_hash64(s: str) -> int:
-    """Deterministic 64-bit string hash (FNV-1a), shared by the pytest
-    reference implementation; independent of PYTHONHASHSEED."""
+    """Deterministic 64-bit string hash (FNV-1a), independent of
+    PYTHONHASHSEED; used only by the pure-Python pytest reference."""
     h = 0xCBF29CE484222325
     for b in s.encode("utf-8"):
         h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return h
-
-
-@pandas_udf(LongType())
-def simhash_udf(token_arrays: pd.Series) -> pd.Series:
-    return pd.Series(_simhash_tokens(token_arrays), dtype="int64")
 
 
 def hamming64_col(a: Column, b: Column) -> Column:

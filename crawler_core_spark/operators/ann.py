@@ -18,7 +18,6 @@ Two paths, one contract (query_id, neighbor_id, sim):
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -61,22 +60,34 @@ def brute_force_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim)).tolist()
+def _plane_component(i, j: int, seed: int, t: int):
+    """Deterministic pseudo-random hyperplane component in [-1, 1] for
+    vector index i, plane j — computed NATIVELY from xxhash64, so no
+    hyperplane materialization and no dimension needed at plan-build time
+    (the round-1 version did a driver ``.first()`` to learn the dim)."""
+    h = F.xxhash64(i.cast("long"), F.lit(j), F.lit(seed), F.lit(t))
+    return (F.pmod(h, F.lit(2_000_001)).cast("double") - F.lit(1_000_000.0)) / F.lit(
+        1_000_000.0
+    )
 
 
-def bucket_col(vec, planes: list[list[float]]):
-    """Native sign-bit bucket id: bit j = (vec . plane_j) >= 0."""
+def bucket_col(vec, n_planes: int, seed: int = 42):
+    """Native sign-bit bucket id: bit j = (vec . plane_j) >= 0.
+
+    Plane components are sums of 4 hash-uniform terms (Irwin-Hall ≈
+    gaussian), keeping the projection close to rotation-invariant without
+    any driver-side randomness or dimension knowledge."""
     bucket = F.lit(0).cast("long")
-    for j, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+    for j in range(n_planes):
+        prod = F.transform(
+            vec,
+            lambda x, i: x.cast("double")
+            * sum(_plane_component(i, j, seed, t) for t in range(4)),
         )
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        dot = F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
     return bucket
 
 
@@ -89,16 +100,15 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket."""
-    dim = len(embeddings.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
+    """Approximate top-k: candidates share the query's LSH bucket.
+    No driver round-trip: the hash-derived hyperplanes need no dim."""
     e = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nvec"),
-        bucket_col(F.col(vec_col), planes).alias("bucket"),
+        bucket_col(F.col(vec_col), n_planes, seed).alias("bucket"),
     )
     q = queries.select(
-        "query_id", "qvec", bucket_col(F.col("qvec"), planes).alias("bucket")
+        "query_id", "qvec", bucket_col(F.col("qvec"), n_planes, seed).alias("bucket")
     )
     j = e.join(F.broadcast(q), "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
     sims = j.select(

@@ -11,9 +11,10 @@ Scale-first designs:
   self-join on (band, sig). Only (id, 8-byte sigs) shuffle; candidate
   pairs are verified with exact token-Jaccard *on the candidates only*.
   At 10^10 docs this is the standard linear-ish near-dup pipeline.
-- **simhash_pairs** — 64-bit simhash per doc (vectorized pandas UDF over
-  token arrays), near-dups = Hamming <= t via banded equality join on
-  16-bit chunks (native bit ops), never an all-pairs comparison.
+- **simhash_pairs** — 64-bit simhash per doc (all-JVM: explode ->
+  xxhash64 -> 64 bit-sum aggregates, functions/text.py:simhash_df),
+  near-dups = Hamming <= t via banded equality join on 16-bit chunks
+  (native bit ops), never an all-pairs comparison.
 """
 
 from __future__ import annotations
@@ -21,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from crawler_core_spark.functions.text import simhash_udf, tokens_col
+from crawler_core_spark.functions.text import simhash_df, tokens_col
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -154,9 +155,9 @@ def minhash_lsh_pairs(
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.select(
-        F.col(id_col), simhash_udf(tokens_col(text_col)).alias("simhash")
-    )
+    """All-JVM simhash (explode -> xxhash64 -> 64 bit-sum aggregates); no
+    pandas UDF in the plan (the round-1 per-token Python loop is gone)."""
+    return simhash_df(df, id_col, text_col)
 
 
 def simhash_pairs(

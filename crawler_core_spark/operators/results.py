@@ -71,6 +71,42 @@ def validate_fetch_invariant(
     )
 
 
+SERIALIZATION_NULLED = [
+    "result_caption", "result_phash", "result_w", "result_h", "result_fmt",
+]
+
+
+def apply_serialization_guard(df: DataFrame, caption_col: str = "result_caption") -> DataFrame:
+    """K3 serialization-failure fallback (``MongoPersistenceProvider.java:267-275``):
+    a result that cannot be serialized is replaced by a SERIALIZATION_ERROR
+    result for the same job — recursion-guarded in the reference; here the
+    replacement (nulled payload) is trivially serializable, so one pass
+    suffices.  With a typed schema the only BSON-style failure mode left is
+    a NUL byte inside a string field (BSON cstrings cannot contain 0x00).
+
+    Sets both ``status`` and ``result_status`` (the reference persists the
+    fallback with the new status), preserving the T6 invariant.
+    """
+    bad = F.col(caption_col).isNotNull() & F.col(caption_col).contains("\x00")
+    out = df.withColumn("_ser_bad", bad)
+    for c in [c for c in SERIALIZATION_NULLED if c in df.columns]:
+        out = out.withColumn(
+            c, F.when(F.col("_ser_bad"), F.lit(None)).otherwise(F.col(c))
+        )
+    out = out.withColumn(
+        "status",
+        F.when(F.col("_ser_bad"), F.lit("SERIALIZATION_ERROR")).otherwise(F.col("status")),
+    )
+    if "result_status" in df.columns:
+        out = out.withColumn(
+            "result_status",
+            F.when(F.col("_ser_bad"), F.lit("SERIALIZATION_ERROR")).otherwise(
+                F.col("result_status")
+            ),
+        )
+    return out.drop("_ser_bad")
+
+
 def assert_status_invariant(results: DataFrame, job_status_col: str = "status", result_status_col: str = "result_status") -> None:
     """T6 — scanResult.status must equal jobDescription.status
     (MongoPersistenceProvider.java:250-258); gate before commit."""

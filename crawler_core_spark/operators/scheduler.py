@@ -28,11 +28,19 @@ Hot-host skew [north_rule]: the fetch stage repartitions on a *salted*
 key ``(host, pmod(xxhash64(url_canon), S))`` so one hot host spreads over
 S tasks; per-host state is re-aggregated unsalted afterwards (the groupBy
 below is on the bare host).
+
+Robots matching scale plan (round-2 rewrite): the best rule is a function
+of the DISTINCT (host, path) key, not of the frontier row — so the match
+runs over the distinct keys (tiny vs a 10^10-row frontier), with an
+equi-join for exact-host rules plus a broadcast of only the wildcard
+rules, reduced by one ``max_by`` aggregation (no BroadcastNestedLoopJoin
+over the frontier, no per-job_id window shuffle+sort of frontier×rules),
+then ONE hash equi-join back to the frontier.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 DEFAULT_BATCH_PERIOD = 10.0
@@ -43,6 +51,41 @@ HOST_STATE_SCHEMA = "host: string, next_fetch_time: double, crawl_delay: double"
 
 def host_col() -> F.Column:
     return F.coalesce(F.col("hostname"), F.col("ip"))
+
+
+def _best_rules_for_keys(keys: DataFrame, robots: DataFrame) -> DataFrame:
+    """Best robots rule per distinct (host, path) key.
+
+    keys: DataFrame[(host, _path)] (distinct).  Exact-host rules join by
+    host equality (hash join); wildcard rules ('*') are a tiny broadcast
+    unioned in.  Within the candidates, the winner is picked by ONE
+    ``max_by`` aggregation on (is_exact, prefix_len, allow, crawl_delay)
+    — the trailing fields only break exact ties deterministically.
+    """
+    r = robots.select(
+        F.col("host").alias("_r_host"),
+        F.col("path_prefix").alias("_r_prefix"),
+        F.col("allow").alias("_r_allow"),
+        F.col("crawl_delay").alias("_r_delay"),
+    )
+    exact = keys.join(r, keys["host"] == r["_r_host"], "inner").withColumn(
+        "_is_exact", F.lit(1)
+    )
+    wild = keys.join(
+        F.broadcast(r.filter(F.col("_r_host") == "*")), how="cross"
+    ).withColumn("_is_exact", F.lit(0))
+    cand = exact.unionByName(wild).filter(
+        F.col("_path").startswith(F.col("_r_prefix"))
+    )
+    rank = F.struct(
+        F.col("_is_exact"),
+        F.length("_r_prefix").alias("_plen"),
+        F.col("_r_allow"),
+        F.col("_r_delay"),
+    )
+    return cand.groupBy("host", "_path").agg(
+        F.max_by(F.struct(F.col("_r_allow"), F.col("_r_delay")), rank).alias("_best")
+    )
 
 
 def robots_match(
@@ -56,44 +99,40 @@ def robots_match(
 
     robots: (host, path_prefix, allow, crawl_delay); '*' matches any host but
     loses to an exact host row; longer path_prefix wins within a host.
-    Broadcast join: the rules table is a small dimension. ``path_col`` is a
-    Column (or name) holding the URL path to match; defaults to '/'.
+    ``path_col`` is a Column (or name) holding the URL path; defaults '/'.
+
+    Plan shape (the 100×-scale contract): match per distinct (host, path)
+    — never per frontier row — then one equi-join back.  ``.explain``
+    shows no BroadcastNestedLoopJoin and no window over ``id_col``.
     """
-    r = F.broadcast(
-        robots.select(
-            F.col("host").alias("_r_host"),
-            F.col("path_prefix").alias("_r_prefix"),
-            F.col("allow").alias("_r_allow"),
-            F.col("crawl_delay").alias("_r_delay"),
-        )
-    )
     if path_col is None:
         path = F.lit("/")
     elif isinstance(path_col, str):
         path = F.col(path_col)
     else:
         path = path_col
-    joined = df.join(
-        r,
-        ((df[host_col_name] == r["_r_host"]) | (r["_r_host"] == "*"))
-        & path.startswith(r["_r_prefix"]),
-        "left",
+    keyed = df.withColumn("_path", path)
+    keys = keyed.select(F.col(host_col_name).alias("host"), "_path").distinct()
+    best = _best_rules_for_keys(keys, robots).select(
+        F.col("host").alias("_bk_host"),
+        F.col("_path").alias("_bk_path"),
+        F.col("_best"),
     )
-    # rank matches: exact host beats '*', then longest prefix
-    w = Window.partitionBy(id_col).orderBy(
-        F.when(F.col("_r_host") == "*", 1).otherwise(0),
-        F.length(F.col("_r_prefix")).desc(),
-    )
-    best = (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .withColumn("robots_allow", F.coalesce(F.col("_r_allow"), F.lit(True)))
-        .withColumn(
-            "crawl_delay", F.coalesce(F.col("_r_delay"), F.lit(DEFAULT_CRAWL_DELAY))
+    out = (
+        keyed.join(
+            best,
+            (keyed[host_col_name] == F.col("_bk_host"))
+            & (F.col("_path") == F.col("_bk_path")),
+            "left",
         )
-        .drop("_r_host", "_r_prefix", "_r_allow", "_r_delay", "_rn")
+        .withColumn("robots_allow", F.coalesce(F.col("_best._r_allow"), F.lit(True)))
+        .withColumn(
+            "crawl_delay",
+            F.coalesce(F.col("_best._r_delay"), F.lit(DEFAULT_CRAWL_DELAY)),
+        )
+        .drop("_bk_host", "_bk_path", "_best", "_path")
     )
-    return best
+    return out
 
 
 def apply_robots(frontier: DataFrame, robots: DataFrame, url_path: str = "/") -> DataFrame:
@@ -108,13 +147,18 @@ def select_batch(
     host_state: DataFrame,
     clock: float,
     batch_period: float = DEFAULT_BATCH_PERIOD,
+    eligible_obs: Observation | None = None,
 ) -> DataFrame:
     """O5+O1: eligibility filter + per-host budgeted rank-over-window.
 
     frontier rows need: job_id, host, priority, seq, crawl_delay.
     host_state: (host, next_fetch_time, crawl_delay).
-    Returns the selected batch with a ``deferred_count`` observable left to
-    the caller (eligible - selected), computed cheaply via counts.
+
+    ``eligible_obs``: optional Observation that records the pre-budget
+    eligible row count (metric ``eligible``) as a side effect of whatever
+    action the caller runs on the selection — the deferred counter
+    (eligible - selected) then costs no extra job (SURVEY.md §4 item 5:
+    only O(1) metrics hit the driver).
     """
     hs = host_state.select(
         F.col("host").alias("_hs_host"), F.col("next_fetch_time").alias("_nft")
@@ -125,6 +169,10 @@ def select_batch(
         .filter(F.col("next_fetch_time") <= F.lit(clock))
         .drop("_hs_host", "_nft")
     )
+    if eligible_obs is not None:
+        eligible = eligible.observe(
+            eligible_obs, F.count(F.lit(1)).alias("eligible")
+        )
     budget = F.greatest(
         F.lit(1), F.floor(F.lit(batch_period) / F.col("crawl_delay"))
     ).cast("int")

@@ -10,16 +10,27 @@ Two interchangeable implementations behind one interface:
   add = append of new keys.  This is the *correctness oracle* at test
   scale and the semantics contract.
 - **BloomUrlSeen** — the *scale* mechanism: P hash-partitioned Bloom
-  filters persisted as ``(partition_id INT, bloom BINARY)``.  At 10^10
-  keys and ~12 bits/key the filter is ~15 GB total — never a single
-  broadcast object, but P=4096 partitions of ~4 MB each co-partitioned
-  with the keys (``pmod(xxhash64(url_canon), P)``) keep every probe/merge
-  a co-grouped, map-side-local operation: only 8-byte keys shuffle, never
-  image bytes, never the filter itself except its own P-way state.
-  Probes/merges are vectorized numpy inside cogrouped pandas UDFs.
+  filters persisted as ``(partition_id INT, ver BIGINT, bloom BINARY)``.
+  At 10^10 keys and ~12 bits/key the filter is ~15 GB total — never a
+  single broadcast object, but P=4096 partitions of ~4 MB each
+  co-partitioned with the keys (``pmod(xxhash64(url_canon), P)``) keep
+  every probe/merge a co-grouped, map-side-local operation: only 8-byte
+  keys shuffle, never image bytes, never the filter itself except its own
+  P-way state.  Probes/merges are vectorized numpy inside cogrouped
+  pandas UDFs.
+
+Incremental commit contract (round-2 rewrite): each batch APPENDS only
+the partitions that received new keys, as a new ``ver`` of those
+partitions — per-batch write volume is proportional to TOUCHED
+partitions, not P (at design scale a full-state rewrite is ~15 GB per
+micro-batch; the delta is a few MB).  Readers take the max-``ver`` row
+per partition (merge-on-read; versions are cumulative supersets).  Every
+``compact_every`` adds, one full-state ``replace`` snapshot bounds the
+version-chain length, like Iceberg snapshot compaction.
 
 Property pinned by tests: the Bloom path has **no false negatives**
-(bloom-seen ⊇ exact-seen); false-positive rate is sized by bits/key.
+(bloom-seen ⊇ exact-seen); false-positive rate is sized by bits/key; and
+per-batch committed rows == touched partitions.
 """
 
 from __future__ import annotations
@@ -33,6 +44,8 @@ from crawler_core_spark.storage import TableStore
 
 KEYS_TABLE = "url_seen_keys"
 BLOOM_TABLE = "url_seen_bloom"
+
+BLOOM_SCHEMA = "partition_id: int, ver: long, bloom: binary"
 
 _BLOOM_K = 7  # hash functions
 
@@ -65,6 +78,14 @@ def _bloom_test(bloom: np.ndarray, keys: np.ndarray, m_bits: int) -> np.ndarray:
     return hits.all(axis=1)
 
 
+def _latest_bloom(st: pd.DataFrame) -> np.ndarray | None:
+    """Max-ver row of a partition's state group (merge-on-read)."""
+    if st.empty:
+        return None
+    row = st.loc[st["ver"].idxmax()]
+    return np.frombuffer(row["bloom"], dtype=np.uint8)
+
+
 class ExactUrlSeen:
     """Exact seen-set over a committed keys table."""
 
@@ -91,12 +112,20 @@ class ExactUrlSeen:
 
 
 class BloomUrlSeen:
-    """Partitioned-Bloom seen-set. State: (partition_id INT, bloom BINARY)."""
+    """Partitioned-Bloom seen-set. State: (partition_id, ver, bloom)."""
 
-    def __init__(self, store: TableStore, partitions: int = 64, m_bits_per_partition: int = 1 << 20):
+    def __init__(
+        self,
+        store: TableStore,
+        partitions: int = 64,
+        m_bits_per_partition: int = 1 << 20,
+        compact_every: int = 64,
+    ):
         self.store = store
         self.p = partitions
         self.m = m_bits_per_partition
+        self.compact_every = compact_every
+        self._adds = 0
 
     def _pid(self, key_col):
         return F.pmod(key_col, F.lit(self.p)).cast("int")
@@ -104,7 +133,7 @@ class BloomUrlSeen:
     def _state(self) -> DataFrame:
         if self.store.exists(BLOOM_TABLE):
             return self.store.read(BLOOM_TABLE)
-        return self.store.spark.createDataFrame([], "partition_id: int, bloom: binary")
+        return self.store.spark.createDataFrame([], BLOOM_SCHEMA)
 
     def probe(self, df: DataFrame, key: str = "url_key") -> DataFrame:
         m = self.m
@@ -116,13 +145,12 @@ class BloomUrlSeen:
         def _probe(lk, cand, st):
             if cand.empty:
                 return pd.DataFrame(columns=[f.name for f in schema.fields])
-            if st.empty:
-                out = cand.copy()
-                out["seen"] = False
-                return out.drop(columns=["_pid"])
-            bloom = np.frombuffer(st["bloom"].iloc[0], dtype=np.uint8)
+            bloom = _latest_bloom(st)
             out = cand.copy()
-            out["seen"] = _bloom_test(bloom, cand[key].to_numpy(), m)
+            if bloom is None:
+                out["seen"] = False
+            else:
+                out["seen"] = _bloom_test(bloom, cand[key].to_numpy(), m)
             return out.drop(columns=["_pid"])
 
         return (
@@ -133,31 +161,45 @@ class BloomUrlSeen:
         )
 
     def stage_add(self, df: DataFrame, key: str = "url_key") -> tuple[str, tuple[str, str]]:
+        """Stage the bloom delta; caller includes it in the batch commit.
+
+        Normal batches: cogroup restricted to TOUCHED partitions (state
+        semi-joined on the new keys' partition ids) -> an APPEND of one
+        new ver per touched partition.  Every ``compact_every``-th add:
+        full-state REPLACE (every partition re-emitted at its merged
+        latest ver) to bound the version chain.
+        """
         m = self.m
+        self._adds += 1
+        compacting = self.compact_every and self._adds % self.compact_every == 0
         keyed = df.select(F.col(key).alias("url_key")).withColumn(
             "_pid", self._pid(F.col("url_key"))
         )
         state = self._state()
+        if not compacting:
+            touched = keyed.select(F.col("_pid").alias("partition_id")).distinct()
+            state = state.join(touched, "partition_id", "left_semi")
 
         def _merge(lk, new, st):
             pid = int(lk[0])
-            if st.empty:
-                bloom = np.zeros(m // 8, dtype=np.uint8)
-            else:
-                bloom = np.frombuffer(st["bloom"].iloc[0], dtype=np.uint8).copy()
+            base = _latest_bloom(st)
+            ver = 0 if st.empty else int(st["ver"].max()) + 1
+            bloom = (
+                np.zeros(m // 8, dtype=np.uint8) if base is None else base.copy()
+            )
             if not new.empty:
                 _bloom_set(bloom, new["url_key"].to_numpy(), m)
-            return pd.DataFrame({"partition_id": [pid], "bloom": [bloom.tobytes()]})
+            return pd.DataFrame(
+                {"partition_id": [pid], "ver": [ver], "bloom": [bloom.tobytes()]}
+            )
 
         merged = (
             keyed.groupBy("_pid")
             .cogroup(state.groupBy("partition_id"))
-            .applyInPandas(_merge, "partition_id: int, bloom: binary")
+            .applyInPandas(_merge, BLOOM_SCHEMA)
         )
         rel = self.store.stage(merged, BLOOM_TABLE)
-        # replace: each commit carries the full merged state (old partitions
-        # without new keys are re-emitted by the cogroup).
-        return BLOOM_TABLE, ("replace", rel)
+        return BLOOM_TABLE, ("replace" if compacting else "append", rel)
 
 
 def make_url_seen(store: TableStore, kind: str = "exact", **kw):

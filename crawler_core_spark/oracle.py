@@ -12,7 +12,7 @@ sides compute from the same pinned definitions; everything *relational*
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from crawler_core_spark.functions.url import parse_target_py
 from crawler_core_spark.functions.image import decode_image
@@ -53,6 +53,7 @@ class OracleJob:
     crawl_delay: float = DEFAULT_CRAWL_DELAY
     batch_id: int = -1
     crawl_pos: int = -1
+    attempt: int = 0
 
 
 @dataclass
@@ -61,10 +62,16 @@ class OracleRun:
     crawl_order: list[OracleJob] = field(default_factory=list)
     url_seen: set = field(default_factory=set)
     batches: list[dict] = field(default_factory=list)
+    # intermediate (non-final) reexecution attempts — each persisted its
+    # own result row in the engine (append log, O2 latest-wins)
+    attempt_rows: list[OracleJob] = field(default_factory=list)
 
     def status_counts(self) -> dict:
+        """Per-RESULT-ROW counts: final job statuses + retried attempts."""
         out: dict[str, int] = {}
         for j in self.jobs:
+            out[j.status] = out.get(j.status, 0) + 1
+        for j in self.attempt_rows:
             out[j.status] = out.get(j.status, 0) + 1
         return out
 
@@ -152,6 +159,7 @@ def crawl_oracle(
     images: dict[str, dict],
     batch_period: float = 10.0,
     scan_timeout_ms: float = 840_000.0,
+    reexecutions: int = 3,
 ) -> OracleRun:
     """Replay the micro-batch loop contract from operators/scheduler.py."""
     run = OracleRun(jobs=jobs)
@@ -188,12 +196,12 @@ def crawl_oracle(
                 batch_seen.add(j.url_canon)
                 fetched.append(j)
         served: dict[str, int] = {}
+        retried: set[int] = set()
         for j in fetched:
             j.batch_id = batch_id
             j.crawl_pos = pos
             pos += 1
             served[j.host] = served.get(j.host, 0) + 1
-            run.url_seen.add(j.url_canon)
             # fetch statuses (operators/fetch.py contract)
             img_id = _image_id_from_host(j.host)
             img = images.get(img_id)
@@ -206,11 +214,21 @@ def crawl_oracle(
                     j.status = "CANCELLED" if cost > scan_timeout_ms else "SUCCESS"
                 except Exception:
                     j.status = "ERROR"
-            run.crawl_order.append(j)
+            # reexecutions (ScanConfig.java:41): a retryable failure below
+            # the attempt budget persists its row AND requeues attempt+1;
+            # its URL is NOT marked seen (the retry must not self-dedup).
+            if j.status in ("ERROR", "CRAWLER_ERROR") and j.attempt < reexecutions:
+                run.attempt_rows.append(replace(j))
+                run.crawl_order.append(replace(j))
+                j.attempt += 1
+                retried.add(id(j))
+            else:
+                run.url_seen.add(j.url_canon)
+                run.crawl_order.append(j)
         for host, k in served.items():
             delay = next(x.crawl_delay for x in fetched if x.host == host)
             next_fetch[host] = clock + k * delay
-        sel_ids = {id(j) for j in selected}
+        sel_ids = {id(j) for j in selected} - retried
         pending = [j for j in pending if id(j) not in sel_ids]
         run.batches.append(
             {

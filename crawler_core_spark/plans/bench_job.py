@@ -73,7 +73,14 @@ def run_crawl_job(
     if images_n is None:
         images_n = n_hosts
     n_img = min(n_hosts, images_n)
-    images_path = f"/tmp/spark-graft-corpus-{n_img}-{img_px[0]}x{img_px[1]}"
+    # cache key covers EVERYTHING the corpus depends on: row count, pixel
+    # range, synth seed/corrupt schedule AND a synth/codec version tag —
+    # a stale /tmp parquet from older generator code must never feed a
+    # bench or scaling-evidence run.
+    images_path = (
+        f"/tmp/spark-graft-corpus-v{synth.SYNTH_VERSION}-{n_img}"
+        f"-{img_px[0]}x{img_px[1]}-s{synth.DEFAULT_SEED}-c{synth.DEFAULT_CORRUPT_EVERY}"
+    )
     if not os.path.exists(os.path.join(images_path, "_SUCCESS")):
         synth.images_df(
             spark, n_img, px_min=img_px[0], px_max=img_px[1]

@@ -14,34 +14,66 @@ are self-scheduled by the politeness clock and Iceberg-style commits give
 resumability; readStream would add state-store machinery without adding
 semantics.
 
+Reference semantics modeled per batch (round 2):
+- scan-config propagation (ControllerTest.java:54-121): every frontier
+  row carries the ScanConfig struct + an ``attempt`` counter.
+- reexecutions (ScanConfig.java:41): ERROR/CRAWLER_ERROR attempts with
+  ``attempt < reexecutions`` persist their result row AND requeue with
+  attempt+1 (each execution persists; O2 latest-wins on retrieval).
+- INTERNAL_ERROR (Worker.java:108-112): nothing persisted, the job is
+  redelivered (stays in the frontier, attempt unchanged) — reachable via
+  the ``internal_fault`` injection hook.
+- T6 status invariant (MongoPersistenceProvider.java:250-258) and the
+  [EXT] payload invariant (phash-fidelity of SUCCESS rows) are COMMIT
+  GATES: their violation counts ride the results write as Observation
+  metrics (no extra job) and a violation aborts before the commit point,
+  leaving only invisible staged files (no partial batch).
+- K3 serialization fallback (MongoPersistenceProvider.java:267-275):
+  unserializable captions (NUL byte) become SERIALIZATION_ERROR rows.
+- K4 RUNNING partials (BulkScanWorker.java:107-116): with
+  ``emit_partials``, long-running rows upsert a RUNNING partial into
+  ``partial_results`` before the batch commit (the progress stream is
+  deliberately OUTSIDE the atomic commit, like the reference's progress
+  consumer vs the ack transaction); final results supersede via O2.
+
 Tables:
-  frontier    (replace)  — pending TO_BE_EXECUTED rows
+  frontier    (replace)  — pending TO_BE_EXECUTED rows (+attempt, config)
   results     (append)   — terminal rows incl. publish-time errors
   host_state  (replace)  — (host, next_fetch_time, crawl_delay)
-  url_seen_*  (append/replace) — see operators/url_seen.py
+  url_seen_*  (append)   — see operators/url_seen.py
   counters    (append)   — per-(batch, seen-partition) lineage:
                            fetched / deduped / deferred / robots_blocked
   bulk_scans  (append)   — scan-run metadata rows (K1/K2 as append-log,
                            latest row wins like O2)
+  partial_results (replace) — K4 progress-stream upserts
+  notifications (append) — K7/K8 no-op completion webhook rows
 """
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from dataclasses import dataclass
+from typing import Callable
 
-from pyspark.sql import DataFrame, Observation, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
-from crawler_core_spark import STATUS_NAMES
-
-from crawler_core_spark import ERROR_STATUSES
-from crawler_core_spark.operators.fetch import DEFAULT_SCAN_TIMEOUT_MS, fetch_batch
+from crawler_core_spark import ERROR_STATUSES, STATUS_NAMES
+from crawler_core_spark.config import RETRYABLE_STATUSES, ScanConfig
+from crawler_core_spark.operators.fetch import (
+    DEFAULT_SCAN_TIMEOUT_MS,
+    fetch_hits,
+    fetch_misses,
+)
 from crawler_core_spark.operators.publish import (
     bulk_scan_counters,
     parse_and_route,
-    status_histogram,
+)
+from crawler_core_spark.operators.results import (
+    apply_serialization_guard,
+    merge_partials,
 )
 from crawler_core_spark.operators.scheduler import (
     DEFAULT_BATCH_PERIOD,
@@ -58,16 +90,29 @@ from crawler_core_spark.storage import TableStore
 FRONTIER_COLS = [
     "job_id", "bulk_scan_id", "seq", "target", "hostname", "ip", "port",
     "tranco_rank", "priority", "url_canon", "url_key", "host", "crawl_delay",
+    "attempt", "scan_config",
 ]
 
 RESULT_COLS = [
     "job_id", "bulk_scan_id", "seq", "hostname", "ip", "port", "tranco_rank",
-    "status", "url_canon", "batch_id", "crawl_pos", "ts",
-    "image_id", "result_caption", "result_phash", "result_w", "result_h",
-    "result_fmt", "fetch_cost_ms",
+    "status", "result_status", "attempt", "url_canon", "batch_id",
+    "crawl_pos", "ts", "image_id", "result_caption", "result_phash",
+    "result_w", "result_h", "result_fmt", "fetch_cost_ms",
 ]
 
 LINEAGE_PARTITIONS = 16
+
+_NULL_RESULT_FIELDS = [
+    ("image_id", "string"), ("result_caption", "string"),
+    ("result_phash", "long"), ("result_w", "int"), ("result_h", "int"),
+    ("result_fmt", "string"), ("fetch_cost_ms", "double"),
+]
+
+
+def _with_null_results(df: DataFrame) -> DataFrame:
+    for name, typ in _NULL_RESULT_FIELDS:
+        df = df.withColumn(name, F.lit(None).cast(typ))
+    return df
 
 
 @dataclass
@@ -76,6 +121,11 @@ class BatchStats:
     fetched: int
     deduped: int
     deferred: int
+    requeued: int = 0
+
+
+class CommitGateError(RuntimeError):
+    """An invariant gate fired: the staged batch was NOT committed."""
 
 
 class CrawlEngine:
@@ -90,6 +140,11 @@ class CrawlEngine:
         salt_buckets: int = 8,
         url_seen_kw: dict | None = None,
         broadcast_fetch_limit: int = 4_000_000,
+        internal_fault: Callable[[int], Column | None] | None = None,
+        invariant_max_hamming: int | None = None,
+        emit_partials: bool = False,
+        partial_cost_threshold: float | None = None,
+        compact_results_every: int | None = None,
     ):
         self.spark = spark
         self.store = store
@@ -99,6 +154,11 @@ class CrawlEngine:
         self.salt_buckets = salt_buckets
         self.broadcast_fetch_limit = broadcast_fetch_limit
         self.url_seen = make_url_seen(store, url_seen_kind, **(url_seen_kw or {}))
+        self.internal_fault = internal_fault
+        self.invariant_max_hamming = invariant_max_hamming
+        self.emit_partials = emit_partials
+        self.partial_cost_threshold = partial_cost_threshold
+        self.compact_results_every = compact_results_every
         self.step_timings: list[dict] = []  # per-batch driver-step seconds
 
     def _tick(self, timings: dict, label: str, t0: float) -> float:
@@ -117,9 +177,13 @@ class CrawlEngine:
         robots: DataFrame,
         bulk_scan_id: str,
         default_port: int = 443,
+        scan_config: ScanConfig | None = None,
+        monitored: bool = False,
+        notify_url: str | None = None,
     ) -> dict:
         timings: dict = {}
         t = time.time()
+        cfg = scan_config or ScanConfig(timeout_ms=self.scan_timeout_ms)
         routed = parse_and_route(targets, dns, denylist, bulk_scan_id, default_port)
 
         # Materialize the parse->dns->denylist pipeline ONCE (it carries a
@@ -154,34 +218,33 @@ class CrawlEngine:
                 F.count(F.when(~F.col("robots_allow"), 1)).alias("blocked"),
             )
             .filter(F.col("robots_allow"))
+            # scan-config propagation: every queued job carries the config
+            # (BulkScanInfo on each ScanJobDescription, ControllerTest.java:54-121)
+            .withColumn("attempt", F.lit(0))
+            .withColumn("scan_config", cfg.as_column())
             .select(*FRONTIER_COLS)
         )
 
         publish_ts = 0.0
         err = error_in.withColumn("host", F.coalesce("hostname", "ip"))
+        base_err_cols = [
+            "job_id", "bulk_scan_id", "seq", "hostname", "ip", "port",
+            "tranco_rank", "status", "url_canon",
+        ]
         error_results = (
-            err.select(
-                "job_id", "bulk_scan_id", "seq", "hostname", "ip", "port",
-                "tranco_rank", "status", "url_canon",
-            )
+            err.select(*base_err_cols)
             .unionByName(
                 blocked.withColumn("status", F.lit("ROBOTS_BLOCKED")).select(
-                    "job_id", "bulk_scan_id", "seq", "hostname", "ip", "port",
-                    "tranco_rank", "status", "url_canon",
+                    *base_err_cols
                 )
             )
+            .withColumn("result_status", F.col("status"))
+            .withColumn("attempt", F.lit(0))
             .withColumn("batch_id", F.lit(-1))
             .withColumn("crawl_pos", F.lit(None).cast("long"))
             .withColumn("ts", F.lit(publish_ts))
-            .withColumn("image_id", F.lit(None).cast("string"))
-            .withColumn("result_caption", F.lit(None).cast("string"))
-            .withColumn("result_phash", F.lit(None).cast("long"))
-            .withColumn("result_w", F.lit(None).cast("int"))
-            .withColumn("result_h", F.lit(None).cast("int"))
-            .withColumn("result_fmt", F.lit(None).cast("string"))
-            .withColumn("fetch_cost_ms", F.lit(None).cast("double"))
-            .select(*RESULT_COLS)
         )
+        error_results = _with_null_results(error_results).select(*RESULT_COLS)
 
         t = self._tick(timings, "pub_plan", t)
 
@@ -208,8 +271,20 @@ class CrawlEngine:
             "robots_blocked": robots_blocked,
             "finished": False,
             "successful_scans": 0,
+            "monitored": bool(monitored),
+            "notify_url": notify_url,
+            **{f"cfg_{k}": v for k, v in cfg.as_dict().items()},
         }
-        bulk_df = self.spark.createDataFrame([bulk_row])
+        bulk_df = self.spark.createDataFrame(
+            [bulk_row],
+            "bulk_scan_id: string, targets_given: long, "
+            "scan_jobs_published: long, scan_jobs_resolution_errors: long, "
+            "scan_jobs_denylisted: long, robots_blocked: long, "
+            "finished: boolean, successful_scans: long, monitored: boolean, "
+            "notify_url: string, cfg_scanner_detail: string, "
+            "cfg_reexecutions: int, cfg_timeout_ms: double, "
+            "cfg_parallel_probes: int, cfg_excluded_probes: array<string>",
+        )
 
         lineage = self.spark.createDataFrame(
             [(-1, -1, 0, 0, 0, int(robots_blocked))],
@@ -246,8 +321,8 @@ class CrawlEngine:
 
         stats: list[BatchStats] = []
         # driver-tracked frontier size: counted once on entry/resume, then
-        # maintained arithmetically (remaining -= selected) — saves one full
-        # table-scan job per batch and the final empty-check scan.
+        # maintained arithmetically (remaining -= selected - requeued) —
+        # saves one full table-scan job per batch and the final empty-check.
         remaining: int | None = None
         while max_batches is None or len(stats) < int(max_batches):
             timings: dict = {}
@@ -266,22 +341,16 @@ class CrawlEngine:
                 else self.spark.createDataFrame([], "host: string, next_fetch_time: double, crawl_delay: double")
             )
 
-            eligible_sel = select_batch(frontier, host_state, clock, self.batch_period)
-            # count eligible (pre-budget) for the deferred counter; with no
-            # host state yet every pending row is eligible — skip the join.
-            if self.store.exists("host_state"):
-                hs = host_state.select(F.col("host").alias("_h"), "next_fetch_time")
-                eligible_cnt = (
-                    frontier.join(hs, frontier["host"] == F.col("_h"), "left")
-                    .filter(F.coalesce(F.col("next_fetch_time"), F.lit(0.0)) <= clock)
-                    .count()
-                )
-            else:
-                eligible_cnt = remaining
-            t = self._tick(timings, "eligible", t)
+            # eligible (pre-budget) count rides the selection job as an
+            # Observation — the deferred counter costs no extra join/count.
+            elig_obs = Observation()
+            eligible_sel = select_batch(
+                frontier, host_state, clock, self.batch_period, eligible_obs=elig_obs
+            )
 
             selected = eligible_sel.persist()
             sel_cnt = selected.count()
+            eligible_cnt = int(elig_obs.get["eligible"])
             t = self._tick(timings, "select_batch", t)
             if sel_cnt == 0:
                 # every eligible host throttled: advance virtual time
@@ -304,28 +373,41 @@ class CrawlEngine:
             dup_rows = batch.filter(F.col("dup")).drop("dup").persist()
             dedup_keys = dup_rows.select("url_key")
 
-            # persist the decode output first: dense_seq and the commit
-            # below each re-read it, and the image decode must run once.
-            # Budget-bounded batches broadcast against the streamed corpus
-            # (bytes never shuffle); over-budget batches fall back to the
-            # salted shuffle join (hot-host skew defused by the salt).
+            # persist the decoded HITS first: the miss anti-join, dense_seq
+            # and the commit each re-read them, and the image decode must
+            # run once.  Budget-bounded batches broadcast against the
+            # streamed corpus (bytes never shuffle); over-budget batches
+            # fall back to the salted shuffle join (hot-host skew defused
+            # by the salt).  EMPTY rows are derived batch-side from the
+            # persisted hits (anti-join on job_id) — NEVER from a corpus
+            # broadcast (the 10^10-row corpus must not ship to executors).
             use_bcast = sel_cnt <= self.broadcast_fetch_limit
             fetch_src = (
                 to_fetch if use_bcast
                 else salted_repartition(to_fetch, self.salt_buckets)
             )
-            fetched_raw = fetch_batch(
+            fault = self.internal_fault(batch_id) if self.internal_fault else None
+            timeout_col = F.coalesce(
+                F.col("scan_config.timeout_ms"), F.lit(self.scan_timeout_ms)
+            )
+            hits = fetch_hits(
                 fetch_src,
                 self.images,
-                self.scan_timeout_ms,
+                timeout_col,
                 broadcast_batch=use_bcast,
+                internal_fault=fault,
             ).persist()
+            misses = fetch_misses(to_fetch, hits)
+            fetched_all = hits.unionByName(misses.select(*hits.columns))
+
+            is_internal = F.col("status") == "INTERNAL_ERROR"
+            persistable = fetched_all.filter(~is_internal)
             # crawl_pos: dense rank over the batch's total order — computed
             # distributed (a global window would serialize the batch). The
             # (priority, seq) order packs into one long: priority < 2^31
             # (UNRANKED_PRIORITY or an int32 tranco rank), seq < 2^31.
             fetched = dense_seq(
-                fetched_raw,
+                persistable,
                 F.col("priority").cast("long") * F.lit(1 << 32) + F.col("seq"),
                 "crawl_pos",
                 start=offset,
@@ -333,51 +415,125 @@ class CrawlEngine:
             fetched = (
                 fetched.withColumn("batch_id", F.lit(batch_id))
                 .withColumn("ts", F.lit(clock))
-                .select(*RESULT_COLS, "host", "crawl_delay", "url_key")
             ).persist()
             deferred_cnt = eligible_cnt - sel_cnt
             t = self._tick(timings, "fetch_decode_rank", t)
+
+            # reexecutions (ScanConfig.java:41): retryable failures below
+            # the attempt budget persist their row AND requeue attempt+1.
+            is_retryable = F.col("status").isin(*RETRYABLE_STATUSES) & (
+                F.col("attempt") < F.coalesce(F.col("scan_config.reexecutions"), F.lit(0))
+            )
+
+            # K4 RUNNING partials — progress stream OUTSIDE the atomic
+            # commit (reference: progress consumer vs ack transaction).
+            if self.emit_partials:
+                thr = (
+                    self.partial_cost_threshold
+                    if self.partial_cost_threshold is not None
+                    else 0.0
+                )
+                partials = (
+                    fetched.filter(
+                        (F.col("fetch_cost_ms") > F.lit(thr))
+                        & F.col("status").isin("SUCCESS", "CANCELLED")
+                    )
+                    .withColumn("status", F.lit("RUNNING"))
+                    .withColumn("result_status", F.lit("RUNNING"))
+                    .withColumn("ts", F.lit(clock - 0.5 * self.batch_period))
+                )
+                partials = partials.select(
+                    *[c for c in RESULT_COLS if c not in (
+                        "result_caption", "result_phash", "crawl_pos")],
+                    F.lit(None).cast("string").alias("result_caption"),
+                    F.lit(None).cast("long").alias("result_phash"),
+                    F.lit(None).cast("long").alias("crawl_pos"),
+                ).select(*RESULT_COLS)
+                merge_partials(self.store, partials)
+                t = self._tick(timings, "partials", t)
 
             # ---- stage the atomic batch commit -------------------------
             # deduped rows reach a terminal state too ([EXT] status DEDUPED):
             # every published job ends in exactly one results row.
             dedup_results = (
                 dup_rows.withColumn("status", F.lit("DEDUPED"))
+                .withColumn("result_status", F.lit("DEDUPED"))
                 .withColumn("batch_id", F.lit(batch_id))
                 .withColumn("crawl_pos", F.lit(None).cast("long"))
                 .withColumn("ts", F.lit(clock))
-                .withColumn("image_id", F.lit(None).cast("string"))
-                .withColumn("result_caption", F.lit(None).cast("string"))
-                .withColumn("result_phash", F.lit(None).cast("long"))
-                .withColumn("result_w", F.lit(None).cast("int"))
-                .withColumn("result_h", F.lit(None).cast("int"))
-                .withColumn("result_fmt", F.lit(None).cast("string"))
-                .withColumn("fetch_cost_ms", F.lit(None).cast("double"))
-                .select(*RESULT_COLS)
             )
-            # per-status counts + fetched/deduped split ride the results
-            # write as an Observation — no separate count/collect jobs.
+            dedup_results = _with_null_results(dedup_results).select(*RESULT_COLS)
+            # per-status counts, retry split and the two COMMIT GATES (T6
+            # status invariant + [EXT] phash payload invariant) all ride
+            # the results write as one Observation — no separate jobs.
             res_obs = Observation()
+            gate_metrics = [
+                F.count(
+                    F.when(F.col("status") != F.col("result_status"), 1)
+                ).alias("_t6_bad"),
+                F.count(F.when(is_retryable, 1)).alias("_requeue_retry"),
+            ]
+            if self.invariant_max_hamming is not None:
+                gate_metrics.append(
+                    F.count(
+                        F.when(
+                            (F.col("status") == "SUCCESS")
+                            & F.col("corpus_phash").isNotNull()
+                            & (
+                                F.bit_count(
+                                    F.col("result_phash").bitwiseXOR(
+                                        F.col("corpus_phash")
+                                    )
+                                )
+                                > F.lit(self.invariant_max_hamming)
+                            ),
+                            1,
+                        )
+                    ).alias("_phash_bad")
+                )
             results_out = (
-                fetched.select(*RESULT_COLS)
-                .unionByName(dedup_results)
+                apply_serialization_guard(
+                    fetched.unionByName(
+                        dedup_results, allowMissingColumns=True
+                    )
+                )
                 .observe(
                     res_obs,
                     *[
                         F.count(F.when(F.col("status") == s, 1)).alias(s)
                         for s in STATUS_NAMES
                     ],
+                    *gate_metrics,
                 )
+                .select(*RESULT_COLS)
             )
-            new_frontier = frontier.join(
-                selected.select("job_id"), "job_id", "left_anti"
-            ).select(*FRONTIER_COLS)
+
+            # frontier: drop every selected job, then put back the
+            # requeued ones (retry attempt+1; INTERNAL_ERROR unchanged —
+            # redelivery without persist, Worker.java:108-112).
+            requeue = (
+                fetched.filter(is_retryable)
+                .withColumn("attempt", F.col("attempt") + 1)
+                .select(*FRONTIER_COLS)
+                .unionByName(hits.filter(is_internal).select(*FRONTIER_COLS))
+            )
+            req_obs = Observation()
+            requeue = requeue.observe(
+                req_obs, F.count(F.lit(1)).alias("requeued")
+            )
+            new_frontier = (
+                frontier.join(selected.select("job_id"), "job_id", "left_anti")
+                .select(*FRONTIER_COLS)
+                .unionByName(requeue)
+            )
             new_host_state = updated_host_state(
-                host_state, fetched.select("host", "crawl_delay"), clock
+                host_state, fetched_all.select("host", "crawl_delay"), clock
             )
             t = self._tick(timings, "plan_updates", t)
+            # URL-seen: only rows that reached a TERMINAL state are marked
+            # seen — a requeued job must not dedup its own retry.
             seen_table, seen_staged = self.url_seen.stage_add(
-                fetched.select("url_key")
+                fetched.filter(~is_retryable).select("url_key")
             )
             t = self._tick(timings, "stage_seen_write", t)
             lineage = (
@@ -411,13 +567,28 @@ class CrawlEngine:
 
             staged = {}
             staged["results"] = ("append", self.store.stage(results_out, "results"))
-            batch_counts = {s: int(n) for s, n in res_obs.get.items() if n}
+            obs_vals = {k: int(v) for k, v in res_obs.get.items() if v}
+            # ---- commit gates (staged data stays invisible on abort) ----
+            if obs_vals.get("_t6_bad", 0):
+                raise CommitGateError(
+                    f"T6 status invariant violated on {obs_vals['_t6_bad']} rows; "
+                    "batch NOT committed"
+                )
+            if obs_vals.get("_phash_bad", 0):
+                raise CommitGateError(
+                    f"payload invariant (phash hamming > {self.invariant_max_hamming}) "
+                    f"violated on {obs_vals['_phash_bad']} SUCCESS rows; batch NOT committed"
+                )
+            batch_counts = {
+                s: n for s, n in obs_vals.items() if not s.startswith("_")
+            }
             fetched_cnt = sum(
                 n for s, n in batch_counts.items() if s != "DEDUPED"
             )
             deduped_cnt = batch_counts.get("DEDUPED", 0)
             t = self._tick(timings, "stage_results", t)
             staged["frontier"] = ("replace", self.store.stage(new_frontier, "frontier"))
+            requeued_cnt = int(req_obs.get["requeued"])
             t = self._tick(timings, "stage_frontier", t)
             staged["host_state"] = ("replace", self.store.stage(new_host_state, "host_state"))
             t = self._tick(timings, "stage_host_state", t)
@@ -436,11 +607,21 @@ class CrawlEngine:
                     "fetched": fetched_cnt,
                     "deduped": deduped_cnt,
                     "deferred": deferred_cnt,
+                    "requeued": requeued_cnt,
                     "hist": self.store.last_meta("hist"),
                 },
             )
 
             t = self._tick(timings, "commit", t)
+            # periodic results-snapshot compaction (storage maintenance;
+            # bounds the manifest a long run's readers must enumerate)
+            if (
+                self.compact_results_every
+                and batch_id > 0
+                and batch_id % self.compact_results_every == 0
+            ):
+                self.store.compact("results")
+                t = self._tick(timings, "compact", t)
 
             # A2-A4 driver-side monitoring over the per-batch statuses
             # (already observed on the results write; DEDUPED rows never
@@ -458,16 +639,19 @@ class CrawlEngine:
             if verbose:
                 print(
                     f"batch {batch_id}: fetched={fetched_cnt} deduped={deduped_cnt} "
-                    f"deferred={deferred_cnt} ema={monitor.moving_average:.3f} eta={monitor.eta:.1f}"
+                    f"deferred={deferred_cnt} requeued={requeued_cnt} "
+                    f"ema={monitor.moving_average:.3f} eta={monitor.eta:.1f}"
                 )
 
-            stats.append(BatchStats(batch_id, fetched_cnt, deduped_cnt, deferred_cnt))
+            stats.append(
+                BatchStats(batch_id, fetched_cnt, deduped_cnt, deferred_cnt, requeued_cnt)
+            )
             dup_rows.unpersist()
-            fetched_raw.unpersist()
+            hits.unpersist()
             fetched.unpersist()
             selected.unpersist()
             frontier.unpersist()
-            remaining -= sel_cnt
+            remaining -= sel_cnt - requeued_cnt
             offset += fetched_cnt
             clock = clock_next
             batch_id += 1
@@ -476,7 +660,10 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def finalize(self, bulk_scan_id: str) -> dict:
-        """A5 rollup — groupBy(status).count() over results -> bulk_scans."""
+        """A5 rollup — groupBy(status).count() over results -> bulk_scans;
+        K7/K8: monitored scans get a completion-notification row (the
+        sandboxed no-op of the notifyUrl webhook POST,
+        ProgressMonitor.java:218-232)."""
         results = self.store.read("results")
         hist = {
             r["status"]: r["count"]
@@ -500,4 +687,29 @@ class CrawlEngine:
             mode="append",
             meta={"kind": "finalize", "hist": row["job_status_counters"]},
         )
+        # K7 monitored-only notification (RabbitMqOrchestrationProvider.java:176-186)
+        # + K8 webhook no-op: record what WOULD be POSTed.
+        monitored, notify_url = False, None
+        if self.store.exists("bulk_scans"):
+            bs = (
+                self.store.read("bulk_scans")
+                .filter(F.col("bulk_scan_id") == bulk_scan_id)
+                .select("monitored", "notify_url")
+                .collect()
+            )
+            if bs:
+                monitored = bool(bs[-1]["monitored"])
+                notify_url = bs[-1]["notify_url"]
+        if monitored:
+            payload = json.dumps(row, sort_keys=True)
+            self.store.write(
+                self.spark.createDataFrame(
+                    [(bulk_scan_id, notify_url, payload)],
+                    "bulk_scan_id: string, notify_url: string, payload: string",
+                ),
+                "notifications",
+                mode="append",
+                meta={"kind": "notification"},
+            )
+            row["notified"] = True
         return row

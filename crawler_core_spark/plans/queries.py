@@ -777,3 +777,50 @@ FROM s GROUP BY user_id, session_no
 
 QUERIES["events_sessionize"] = q_events_sessionize
 ORACLE_SQL["events_sessionize"] = SQL_EVENTS_SESSIONIZE
+
+
+def q_config_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-config propagation (ControllerTest.java:54-121 pinned): every
+    queued job row carries the ScanConfig struct (BulkScanInfo per
+    ScanJobDescription) — grouping the frontier by the propagated config
+    fields must put EVERY published job in the one configured group."""
+    from crawler_core_spark.config import ScanConfig
+
+    targets, dns, denylist = _publish_inputs(spark, sf_dir)
+    routed = parse_and_route(targets, dns, denylist, "bs-q")
+    cfg = ScanConfig(
+        scanner_detail="NORMAL",
+        reexecutions=2,
+        timeout_ms=5000.0,
+        parallel_probes=4,
+        excluded_probes=("probe1", "probe2"),
+    )
+    fr = (
+        routed.frontier.withColumn("attempt", F.lit(0))
+        .withColumn("scan_config", cfg.as_column())
+    )
+    return fr.groupBy(
+        F.col("scan_config.scanner_detail").alias("scanner_detail"),
+        F.col("scan_config.reexecutions").alias("reexecutions"),
+        F.col("scan_config.parallel_probes").alias("parallel_probes"),
+        F.col("scan_config.timeout_ms").alias("timeout_ms"),
+        F.size("scan_config.excluded_probes").alias("n_excluded"),
+        F.element_at("scan_config.excluded_probes", 1).alias("first_excluded"),
+        F.col("attempt").alias("attempt"),
+    ).agg(F.count(F.lit(1)).alias("n_jobs"))
+
+
+SQL_CONFIG_PROPAGATION = _PUBLISH_CTE + """
+SELECT 'NORMAL' AS scanner_detail,
+       CAST(2 AS INTEGER) AS reexecutions,
+       CAST(4 AS INTEGER) AS parallel_probes,
+       CAST(5000.0 AS DOUBLE) AS timeout_ms,
+       CAST(2 AS INTEGER) AS n_excluded,
+       'probe1' AS first_excluded,
+       CAST(0 AS INTEGER) AS attempt,
+       count(*) AS n_jobs
+FROM routed WHERE status = 'TO_BE_EXECUTED'
+"""
+
+QUERIES["config_propagation"] = q_config_propagation
+ORACLE_SQL["config_propagation"] = SQL_CONFIG_PROPAGATION

@@ -13,7 +13,7 @@ DataFrame with the same line format the reference downloads
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crawler_core_spark.operators.rankutil import dense_seq
@@ -95,7 +95,9 @@ def mx_expanded_targets(spark: SparkSession, tranco: DataFrame, mx_table: DataFr
     first_seen = exploded.groupBy("target").agg(
         F.min(F.struct("seq", "pos")).alias("first")
     )
-    w = Window.orderBy(F.col("first.seq"), F.col("first.pos"))
-    return first_seen.select(
-        (F.row_number().over(w).cast("long") - 1).alias("seq"), "target"
-    )
+    # dense first-appearance rank, computed DISTRIBUTED: (seq, pos) packs
+    # into one long (seq < 2^31 list lines, pos < 2^32 MX records/host) —
+    # a global row_number window here would collapse the plan to one
+    # partition (the N->4N scaling killer dense_seq exists to avoid).
+    ord_key = F.col("first.seq") * F.lit(1 << 32) + F.col("first.pos")
+    return dense_seq(first_seen, ord_key, "seq").select("seq", "target")

@@ -81,6 +81,25 @@ class TableStore:
     def write(self, df: DataFrame, table: str, mode: str = "append", meta: dict | None = None) -> int:
         return self.commit({table: (mode, self.stage(df, table))}, meta=meta)
 
+    def compact(self, table: str, num_files: int | None = None) -> int:
+        """Snapshot compaction (Iceberg ``rewrite_data_files`` analogue):
+        collapse a table's append-chain of snapshot directories into ONE
+        replace snapshot, so a thousand-batch run's reads stop enumerating
+        a thousand directories.  Readers before the commit keep the old
+        manifest; the switch is the same atomic log replace as any commit.
+        """
+        df = self.read(table)
+        if num_files:
+            df = df.coalesce(num_files)
+        rel = self.stage(df, table)
+        return self.commit(
+            {table: ("replace", rel)}, meta={"kind": "compact", "table": table}
+        )
+
+    def snapshot_count(self, table: str) -> int:
+        """Number of live snapshot directories a read of ``table`` touches."""
+        return len(self.table_paths(table))
+
     # -- reads --------------------------------------------------------------
     def table_paths(self, table: str) -> list[str]:
         paths: list[str] = []

@@ -58,7 +58,8 @@ def status_counts_stream(
     The virtual clock ``ts`` (seconds) becomes an event-time column; the
     watermark (default 300 s, mirroring the reference's 5-min done-queue
     TTL) lets late results from retried batches fold in while bounding
-    state.
+    state — NOTE: state is only actually dropped in ``update``/``append``
+    output modes; ``complete`` mode (the in-memory test sink) retains it.
     """
     evt = results.withColumn("event_time", F.timestamp_seconds(F.col("ts")))
     return (
@@ -77,17 +78,26 @@ def status_counts_stream(
 
 
 def run_to_memory(
-    counts: DataFrame, query_name: str = "progress_counts", timeout_s: float = 120.0
+    counts: DataFrame,
+    query_name: str = "progress_counts",
+    timeout_s: float = 120.0,
+    output_mode: str = "complete",
 ):
     """Drain all available input into an in-memory table and stop.
 
     Returns the finished StreamingQuery; read the result with
     ``spark.table(query_name)``.
+
+    State-boundedness caveat: in ``complete`` output mode (the in-memory
+    test/CLI sink) Spark IGNORES the watermark and retains all aggregation
+    state — the 5-min-TTL analogy in ``status_counts_stream`` only holds
+    in ``update``/``append`` modes, which is what a long-running sink must
+    use (pass ``output_mode="update"``).
     """
     q = (
         counts.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -23,6 +23,12 @@ IMAGES_SCHEMA = (
     "caption: string, phash: long"
 )
 
+# bump when make_image_row / encode_image / phash_py numerics change —
+# part of the bench corpus cache key (plans/bench_job.py)
+SYNTH_VERSION = 2
+DEFAULT_SEED = 42
+DEFAULT_CORRUPT_EVERY = 97
+
 _WORDS = (
     "amber brisk cedar dusky ember frost glade hazel irisa jetty kraal lumen "
     "mossy nadir ocher plume quill raven slate tulip umber vapor wharf xylem "
