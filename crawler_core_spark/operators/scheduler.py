@@ -135,11 +135,73 @@ def robots_match(
     return out
 
 
+def robots_best_for_const_path(robots: DataFrame, path: str = "/"):
+    """Best rule per RULE host for a CONSTANT path, computed entirely on
+    the (tiny) rules dimension — the frontier is never shuffled and no
+    driver collect runs (everything stays lazy for the caller's one job).
+
+    Returns (exact_best DataFrame[(host, _rb_allow, _rb_delay)],
+    wild_best one-row DataFrame[(_w_allow, _w_delay)] — nulls when no
+    wildcard rule matches).
+    """
+    cand = robots.filter(F.lit(path).startswith(F.col("path_prefix")))
+    rank = F.struct(
+        F.length("path_prefix").alias("_plen"),
+        F.col("allow"),
+        F.col("crawl_delay"),
+    )
+    exact_best = (
+        cand.filter(F.col("host") != "*")
+        .groupBy("host")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("allow").alias("_rb_allow"),
+                    F.col("crawl_delay").alias("_rb_delay"),
+                ),
+                rank,
+            ).alias("_rb")
+        )
+        .select("host", F.col("_rb._rb_allow").alias("_rb_allow"), F.col("_rb._rb_delay").alias("_rb_delay"))
+    )
+    # global aggregation -> always exactly ONE row (null struct if empty)
+    wild_best = (
+        cand.filter(F.col("host") == "*")
+        .agg(F.max_by(F.struct(F.col("allow"), F.col("crawl_delay")), rank).alias("_w"))
+        .select(
+            F.col("_w.allow").alias("_w_allow"),
+            F.col("_w.crawl_delay").alias("_w_delay"),
+        )
+    )
+    return exact_best, wild_best
+
+
 def apply_robots(frontier: DataFrame, robots: DataFrame, url_path: str = "/") -> DataFrame:
     """O6 at publish time: frontier rows carry no path (the reference's unit
-    of work is host:port), so rules match against the root path."""
+    of work is host:port), so rules match against the constant root path —
+    which means the best rule is a function of HOST alone, computed on the
+    rules dimension and broadcast: ONE broadcast equi-join plus a one-row
+    broadcast cross join onto the frontier, zero frontier shuffles and
+    zero driver collects (the round-1 plan was a BNLJ + per-job window;
+    the first round-2 cut still shuffled the frontier twice via
+    distinct + join-back)."""
     fr = frontier.withColumn("host", host_col())
-    return robots_match(fr, robots, id_col="job_id", path_col=F.lit(url_path))
+    exact_best, wild_best = robots_best_for_const_path(robots, url_path)
+    return (
+        fr.crossJoin(F.broadcast(wild_best))
+        .join(F.broadcast(exact_best), "host", "left")
+        .withColumn(
+            "robots_allow",
+            F.coalesce(F.col("_rb_allow"), F.col("_w_allow"), F.lit(True)),
+        )
+        .withColumn(
+            "crawl_delay",
+            F.coalesce(
+                F.col("_rb_delay"), F.col("_w_delay"), F.lit(DEFAULT_CRAWL_DELAY)
+            ),
+        )
+        .drop("_rb_allow", "_rb_delay", "_w_allow", "_w_delay")
+    )
 
 
 def select_batch(

@@ -52,11 +52,11 @@ Tables:
 from __future__ import annotations
 
 import json
-import os
 import time
 from dataclasses import dataclass
 from typing import Callable
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -187,37 +187,37 @@ class CrawlEngine:
         routed = parse_and_route(targets, dns, denylist, bulk_scan_id, default_port)
 
         # Materialize the parse->dns->denylist pipeline ONCE (it carries a
-        # pandas UDF + three joins); every downstream consumer (frontier
-        # split, error split, counts) re-reads the columnar snapshot with
-        # pruning instead of re-executing the plan.  The A1 histogram rides
-        # the same write as an Observation — no separate aggregation job.
+        # pandas UDF + three joins) via persist(MEMORY_AND_DISK): the two
+        # downstream writes (frontier split, error split) read the cache
+        # instead of re-executing the plan — one fewer full parquet
+        # write+read-back than staging a snapshot, which measured as the
+        # single largest fixed cost of the publish phase.  The A1 histogram
+        # rides the first write as an Observation — no extra job.
         hist_obs = Observation()
-        observed = routed.all_jobs.observe(
+        all_jobs = routed.all_jobs.observe(
             hist_obs,
             *[
                 F.count(F.when(F.col("status") == s, 1)).alias(s)
                 for s in STATUS_NAMES
             ],
-        )
-        jobs_rel = self.store.stage(observed, "all_jobs")
-        all_jobs = self.spark.read.parquet(os.path.join(self.store.root, jobs_rel))
-        hist = {s: int(n) for s, n in hist_obs.get.items() if n}
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         t = self._tick(timings, "pub_parse_stage", t)
-        frontier_in = all_jobs.filter(F.col("status") == "TO_BE_EXECUTED")
-        error_in = all_jobs.filter(F.col("status").isin(ERROR_STATUSES))
 
-        # O6 robots happens at publish: rules are static per crawl. The
-        # robots-blocked count rides the frontier write (observe before the
-        # filter sees the blocked rows) — no separate count job.
+        # O6 robots happens at publish: rules are static per crawl.  The
+        # robots join (two broadcasts, zero shuffles, zero driver jobs —
+        # operators/scheduler.py:apply_robots) is applied to the WHOLE
+        # cached job set so each downstream write is exactly ONE cache
+        # scan: frontier = queued ∧ allowed; error results = publish-time
+        # errors ∪ robots-blocked, in a single pass.  The robots-blocked
+        # count rides the frontier write as an Observation.
         robots_obs = Observation()
-        fr = apply_robots(frontier_in, robots)
-        blocked = fr.filter(~F.col("robots_allow"))
+        is_queued = F.col("status") == "TO_BE_EXECUTED"
+        aj = apply_robots(all_jobs, robots).observe(
+            robots_obs,
+            F.count(F.when(is_queued & ~F.col("robots_allow"), 1)).alias("blocked"),
+        )
         frontier = (
-            fr.observe(
-                robots_obs,
-                F.count(F.when(~F.col("robots_allow"), 1)).alias("blocked"),
-            )
-            .filter(F.col("robots_allow"))
+            aj.filter(is_queued & F.col("robots_allow"))
             # scan-config propagation: every queued job carries the config
             # (BulkScanInfo on each ScanJobDescription, ControllerTest.java:54-121)
             .withColumn("attempt", F.lit(0))
@@ -226,18 +226,20 @@ class CrawlEngine:
         )
 
         publish_ts = 0.0
-        err = error_in.withColumn("host", F.coalesce("hostname", "ip"))
         base_err_cols = [
             "job_id", "bulk_scan_id", "seq", "hostname", "ip", "port",
             "tranco_rank", "status", "url_canon",
         ]
         error_results = (
-            err.select(*base_err_cols)
-            .unionByName(
-                blocked.withColumn("status", F.lit("ROBOTS_BLOCKED")).select(
-                    *base_err_cols
-                )
+            aj.filter(
+                F.col("status").isin(ERROR_STATUSES)
+                | (is_queued & ~F.col("robots_allow"))
             )
+            .withColumn(
+                "status",
+                F.when(is_queued, F.lit("ROBOTS_BLOCKED")).otherwise(F.col("status")),
+            )
+            .select(*base_err_cols)
             .withColumn("result_status", F.col("status"))
             .withColumn("attempt", F.lit(0))
             .withColumn("batch_id", F.lit(-1))
@@ -251,8 +253,10 @@ class CrawlEngine:
         staged = {}
         staged["frontier"] = ("replace", self.store.stage(frontier, "frontier"))
         robots_blocked = int(robots_obs.get["blocked"])
+        hist = {s: int(n) for s, n in hist_obs.get.items() if n}
         t = self._tick(timings, "pub_stage_frontier", t)
         staged["results"] = ("append", self.store.stage(error_results, "results"))
+        all_jobs.unpersist()
         t = self._tick(timings, "pub_stage_results", t)
 
         # robots-blocked rows leave TO_BE_EXECUTED accounting (they were

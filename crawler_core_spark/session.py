@@ -55,6 +55,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
+    if master.startswith("local"):
+        # single-box: no data locality to wait for — a nonzero locality
+        # wait only adds scheduling stalls between the many small driver
+        # jobs. On a real cluster keep the default (HDFS/shuffle locality).
+        b = b.config("spark.locality.wait", "0s")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
