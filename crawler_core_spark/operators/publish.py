@@ -59,7 +59,14 @@ def parse_and_route(
     bulk_scan_id: str,
     default_port: int = 443,
 ) -> PublishResult:
-    """targets: (seq BIGINT, target STRING) -> routed frontier/results."""
+    """targets: (seq BIGINT, target STRING) -> routed frontier/results.
+
+    ``dns`` must be KEYED BY hostname (one row per hostname, like a real
+    resolver map); duplicate hostnames fan out the left join and inflate
+    the frontier — the engine does not pay a frontier-wide shuffle to
+    dedup a malformed dimension (caught by the generator-collision bug:
+    lpad-truncated hosts made 11-way dns duplicates at n>100k).
+    """
     parse = parse_targets_udf(default_port)
     p = targets.withColumn("_p", parse(F.col("target"))).select(
         "seq", "target", "_p.*"

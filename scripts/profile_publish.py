@@ -37,9 +37,10 @@ def run_one(cores: int, n: int, arrow_batch: int) -> None:
         extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": str(arrow_batch)},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    host_of = lambda c: F.concat(  # noqa: E731
-        F.lit("img-"), F.lpad(c.cast("string"), 5, "0"), F.lit(".example.net")
-    )
+    # format_string grows past 5 digits like Python %05d — lpad TRUNCATES
+    # 6-digit ids to their first 5 chars, silently colliding 11 hosts onto
+    # one name above n=100k (and fanning out the dns join 11x).
+    host_of = lambda c: F.format_string("img-%05d.example.net", c)  # noqa: E731
     lines = spark.range(n).select(
         F.col("id").alias("line_no"), host_of(F.col("id")).alias("value")
     )

@@ -311,6 +311,22 @@ def test_dense_seq_survives_packed_key_magnitudes(spark):
     assert out == want
 
 
+def test_bench_host_generator_never_truncates(spark):
+    """Spark lpad TRUNCATES 6-digit ids to 5 chars (11-way host collisions
+    above n=100k, fanning the dns join); the generator must grow instead."""
+    df = spark.createDataFrame([(9,), (99999,), (100000,), (119999,)], "id: long")
+    hosts = [
+        r["h"]
+        for r in df.select(
+            F.format_string("img-%05d.example.net", F.col("id")).alias("h")
+        ).collect()
+    ]
+    assert hosts == [
+        "img-00009.example.net", "img-99999.example.net",
+        "img-100000.example.net", "img-119999.example.net",
+    ]
+
+
 # ---------------------------------------------------------------------------
 # snapshot compaction (judge round-2 item 10)
 # ---------------------------------------------------------------------------
