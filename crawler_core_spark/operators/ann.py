@@ -14,6 +14,12 @@ Two paths, one contract (query_id, neighbor_id, sim):
   Candidates = corpus rows sharing the query's bucket; exact cosine +
   top-k within the bucket only. At 10^10 vectors the bucket join
   replaces the cross product with a hash join on bucket id.
+- **ivf_topk** — the trained scale path (IVF / inverted-file index):
+  k-means centroids fitted driver-side on a FIXED-size deterministic
+  sample (training is a model fit, not a data pass), broadcast as
+  literals; cell assignment is a native argmax of C dot products; queries
+  probe their ``n_probe`` nearest cells and candidates come from a hash
+  join on cell id. Recall/cost dial = (n_centroids, n_probe).
 """
 
 from __future__ import annotations
@@ -111,6 +117,123 @@ def lsh_bucket_topk(
         "query_id", "qvec", bucket_col(F.col("qvec"), n_planes, seed).alias("bucket")
     )
     j = e.join(F.broadcast(q), "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
+    sims = j.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_cosine(F.col("qvec"), F.col("nvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN with trained centroids
+# ---------------------------------------------------------------------------
+
+def train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    sample: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Fit k-means centroids on a deterministic bounded sample.
+
+    The sample is the lowest ``sample`` ids (deterministic, one bounded
+    driver fetch — model TRAINING, not a data-path collect; at 10^10 rows
+    the sample stays 2048 rows).  Lloyd iterations in numpy; empty
+    clusters re-seeded from the farthest points.  Returns a plain
+    list[list[float]] (broadcast as literals by the caller).
+    """
+    import numpy as np
+
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(int(sample))
+        .collect()
+    )
+    x = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    c = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+            else:  # re-seed empty cluster at the farthest point
+                c[j] = x[d.min(axis=1).argmax()]
+    return c.tolist()
+
+
+def _dot_lit(vec, plane: list[float]):
+    arr = F.array(*[F.lit(float(v)) for v in plane])
+    return F.aggregate(
+        F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cell_dists(vec, centroids: list[list[float]]):
+    """Array of negative squared distances to each centroid (argmax =
+    nearest cell), all native: -|v|^2 + 2 v.c - |c|^2; |v|^2 is constant
+    across cells so argmax over (2 v.c - |c|^2) suffices."""
+    scores = []
+    for c in centroids:
+        c2 = float(sum(v * v for v in c))
+        scores.append(2.0 * _dot_lit(vec, c) - F.lit(c2))
+    return F.array(*scores)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    sample: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an inverted-file index: corpus rows hash-join
+    queries on cell id; only probed cells pay the exact cosine."""
+    centroids = train_centroids(
+        embeddings, n_centroids, sample, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    scores = _cell_dists(F.col(vec_col), centroids)
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        (F.array_position(scores, F.array_max(scores)) - 1).cast("int").alias("cell"),
+    )
+    qs = _cell_dists(F.col("qvec"), centroids)
+    # top-n_probe cells per query: sort (score, idx) structs desc, slice
+    ranked = F.sort_array(
+        F.transform(
+            qs, lambda s, i: F.struct(s.alias("s"), i.cast("int").alias("i"))
+        ),
+        asc=False,
+    )
+    q = queries.select(
+        "query_id",
+        "qvec",
+        F.explode(
+            F.transform(F.slice(ranked, 1, n_probe), lambda x: x["i"])
+        ).alias("cell"),
+    )
+    j = e.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
     sims = j.select(
         "query_id",
         "neighbor_id",

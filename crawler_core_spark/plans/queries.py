@@ -824,3 +824,20 @@ FROM routed WHERE status = 'TO_BE_EXECUTED'
 
 QUERIES["config_propagation"] = q_config_propagation
 ORACLE_SQL["config_propagation"] = SQL_CONFIG_PROPAGATION
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN with trained centroids — the production
+    scale path (no SQL oracle: approximate by construction; pytest pins
+    recall >= 0.7 vs brute force on clustered vectors and exact-cosine
+    agreement on reported pairs)."""
+    from crawler_core_spark.operators.ann import ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk(e, queries, k=10, n_centroids=8, n_probe=3, sample=1024)
+
+
+QUERIES["ann_ivf"] = q_ann_ivf

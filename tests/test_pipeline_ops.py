@@ -178,3 +178,25 @@ def test_text_functions(spark):
     # fingerprint is case-insensitive on the token stream
     fp2 = df.select(fingerprint_col(F.lit("THE CAT and the hat")).alias("fp")).first()["fp"]
     assert rows[0]["fp"] == fp2
+
+
+def test_ivf_recall_against_brute_force(vectors):
+    from crawler_core_spark.operators.ann import ivf_topk
+
+    _, df = vectors
+    q = df.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = brute_force_topk(df, q, k=5)
+    approx = ivf_topk(df, q, k=5, n_centroids=8, n_probe=2, sample=200)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # strongly clustered data + 2 probed cells of 8: near neighbors live
+    # in the query's own cluster cell
+    assert recall >= 0.7, recall
+    # sims are exact cosines wherever both report the pair
+    sims_e = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in exact.collect()}
+    sims_a = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in approx.collect()}
+    for key in e & a:
+        assert sims_e[key] == pytest.approx(sims_a[key], abs=1e-6)
