@@ -255,7 +255,16 @@ class CrawlEngine:
         robots_blocked = int(robots_obs.get["blocked"])
         hist = {s: int(n) for s, n in hist_obs.get.items() if n}
         t = self._tick(timings, "pub_stage_frontier", t)
-        staged["results"] = ("append", self.store.stage(error_results, "results"))
+        staged["results"] = (
+            "append",
+            self.store.stage(
+                # partition by a MIRROR column so bulk_scan_id stays in the
+                # data files (the streaming source reads them schema-first)
+                error_results.withColumn("bs_part", F.col("bulk_scan_id")),
+                "results",
+                partition_by=["bs_part"], sort_within=[F.desc("ts")],
+            ),
+        )
         all_jobs.unpersist()
         t = self._tick(timings, "pub_stage_results", t)
 
@@ -570,7 +579,16 @@ class CrawlEngine:
             )
 
             staged = {}
-            staged["results"] = ("append", self.store.stage(results_out, "results"))
+            # K5/O3: partition spec + ts-desc sort order (partition pruning +
+            # row-group min/max skipping on the read path)
+            staged["results"] = (
+                "append",
+                self.store.stage(
+                    results_out.withColumn("bs_part", F.col("bulk_scan_id")),
+                    "results",
+                    partition_by=["bs_part"], sort_within=[F.desc("ts")],
+                ),
+            )
             obs_vals = {k: int(v) for k, v in res_obs.get.items() if v}
             # ---- commit gates (staged data stays invisible on abort) ----
             if obs_vals.get("_t6_bad", 0):
@@ -624,7 +642,10 @@ class CrawlEngine:
                 and batch_id > 0
                 and batch_id % self.compact_results_every == 0
             ):
-                self.store.compact("results")
+                self.store.compact(
+                    "results",
+                    partition_by=["bs_part"], sort_within=[F.desc("ts")],
+                )
                 t = self._tick(timings, "compact", t)
 
             # A2-A4 driver-side monitoring over the per-batch statuses

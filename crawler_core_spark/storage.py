@@ -57,10 +57,36 @@ class TableStore:
         os.replace(tmp, self._log_path())  # the atomic commit point
 
     # -- staging + commit ---------------------------------------------------
-    def stage(self, df: DataFrame, table: str) -> str:
-        """Write df to an invisible stage directory; return its relpath."""
+    def stage(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        sort_within: list | None = None,
+    ) -> str:
+        """Write df to an invisible stage directory; return its relpath.
+
+        ``partition_by`` is the Iceberg partition-spec analogue (hive-style
+        directories -> partition pruning on read); ``sort_within`` is the
+        sort-order analogue (``sortWithinPartitions`` -> parquet row-group
+        min/max stats tight on the sort key, giving index-like skipping —
+        the Mongo secondary-index / timestamp-desc-index story, K5/O3,
+        ``MongoPersistenceProvider.java:205-210``). Neither adds a shuffle.
+        """
         rel = os.path.join(table, f"snap-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        out = df
+        if sort_within:
+            out = out.sortWithinPartitions(*sort_within)
+        writer = out.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(self.root, rel))
+        if partition_by:
+            # a partitioned write of ZERO rows leaves no files at all —
+            # park the schema in a sidecar (pure python, no job) so reads
+            # of such snapshots stay schema-full.
+            with open(os.path.join(self.root, rel, "_schema.json"), "w") as f:
+                f.write(df.schema.json())
         return rel
 
     def commit(self, staged: dict[str, tuple[str, str]], meta: dict | None = None) -> int:
@@ -81,7 +107,13 @@ class TableStore:
     def write(self, df: DataFrame, table: str, mode: str = "append", meta: dict | None = None) -> int:
         return self.commit({table: (mode, self.stage(df, table))}, meta=meta)
 
-    def compact(self, table: str, num_files: int | None = None) -> int:
+    def compact(
+        self,
+        table: str,
+        num_files: int | None = None,
+        partition_by: list[str] | None = None,
+        sort_within: list | None = None,
+    ) -> int:
         """Snapshot compaction (Iceberg ``rewrite_data_files`` analogue):
         collapse a table's append-chain of snapshot directories into ONE
         replace snapshot, so a thousand-batch run's reads stop enumerating
@@ -91,7 +123,7 @@ class TableStore:
         df = self.read(table)
         if num_files:
             df = df.coalesce(num_files)
-        rel = self.stage(df, table)
+        rel = self.stage(df, table, partition_by=partition_by, sort_within=sort_within)
         return self.commit(
             {table: ("replace", rel)}, meta={"kind": "compact", "table": table}
         )
@@ -116,12 +148,52 @@ class TableStore:
     def exists(self, table: str) -> bool:
         return bool(self.table_paths(table))
 
+    @staticmethod
+    def _is_partitioned(path: str) -> bool:
+        try:
+            return any(
+                "=" in d for d in os.listdir(path) if not d.startswith("_")
+            )
+        except OSError:
+            return False
+
+    @staticmethod
+    def _is_empty_partitioned(path: str) -> bool:
+        """A partitioned write of zero rows: sidecar schema, no data files."""
+        try:
+            entries = os.listdir(path)
+        except OSError:
+            return False
+        return "_schema.json" in entries and not any(
+            "=" in e or e.endswith(".parquet") for e in entries
+        )
+
+    def _read_snapshot(self, path: str) -> DataFrame:
+        if self._is_empty_partitioned(path):
+            from pyspark.sql.types import StructType
+
+            with open(os.path.join(path, "_schema.json")) as f:
+                return self.spark.createDataFrame([], StructType.fromJson(json.load(f)))
+        return self.spark.read.parquet(path)
+
     def read(self, table: str, schema: str | None = None) -> DataFrame:
         paths = self.table_paths(table)
         if not paths:
             if schema is None:
                 raise KeyError(f"table {table!r} has no committed snapshots")
             return self.spark.createDataFrame([], schema)
+        special = [
+            p for p in paths
+            if self._is_partitioned(p) or self._is_empty_partitioned(p)
+        ]
+        if len(paths) == 1 or special:
+            # hive-partitioned snapshots: partition discovery needs one
+            # root per scan — union the snapshot reads (the manifest is
+            # bounded by compaction, so the union stays shallow).
+            df = self._read_snapshot(paths[0])
+            for p in paths[1:]:
+                df = df.unionByName(self._read_snapshot(p), allowMissingColumns=True)
+            return df
         return self.spark.read.parquet(*paths)
 
     def last_meta(self, key: str | None = None):

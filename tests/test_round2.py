@@ -425,3 +425,24 @@ def test_cli_controller_end_to_end(spark, tmp_path, capsys):
     store = TableStore(spark, wh)
     assert store.read("results").filter(F.col("status") == "SUCCESS").count() == 6
     assert store.read("bulk_scan_final").first()["finished"] is True
+
+
+def test_results_partition_and_sort_spec(spark, tmp_path):
+    """K5/O3: results are written hive-partitioned by bulk_scan_id and
+    ts-desc sorted within partitions — the read plan must show partition
+    pruning and a pushed ts predicate (index-like skipping)."""
+    targets, dns, dl, robots, images = small_inputs(spark)
+    eng = make_engine(spark, tmp_path, images, "spec")
+    eng.publish(targets, dns, dl, robots, "bs-spec")
+    eng.run()
+    res = eng.store.read("results")
+    # read-back intact (partition column restored by discovery)
+    assert res.filter(F.col("bulk_scan_id") == "bs-spec").count() == res.count()
+    plan = (
+        res.filter((F.col("bs_part") == "bs-spec") & (F.col("ts") > 1.0))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "bs-spec" in plan, plan
+    assert "PushedFilters" in plan and "GreaterThan(ts" in plan, plan
+    # bulk_scan_id survives IN the data files (streaming source contract)
+    assert res.filter(F.col("bulk_scan_id") == "bs-spec").count() == res.count()
