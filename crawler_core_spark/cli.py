@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import sys
+import time
 
 from pyspark.sql import SparkSession
 
@@ -59,6 +60,14 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("-urlSeen", choices=["exact", "bloom"], default="bloom")
     c.add_argument("-batchPeriod", type=float, default=10.0)
     c.add_argument("-maxBatches", type=int, default=None)
+    # cron re-publication (Controller.java:85-92): empty = one immediate
+    # scan; otherwise repeat every N seconds for -scanRuns scans and shut
+    # down when the last one finishes (SchedulerListenerShutdown.java:19-92
+    # semantics: the scheduler stops once all scans are done).
+    c.add_argument("-scanIntervalS", type=float, default=None,
+                   help="re-publish the target list every N seconds")
+    c.add_argument("-scanRuns", type=int, default=1,
+                   help="number of scheduled scans before shutdown")
 
     w = sub.add_parser("worker", help="resume an existing warehouse frontier")
     w.add_argument("-warehouse", required=True)
@@ -97,11 +106,20 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     images = spark.read.parquet(args.images)
-    eng = CrawlEngine(
-        spark, store, images,
-        url_seen_kind=args.urlSeen,
-        batch_period=args.batchPeriod,
-    )
+
+    def make_engine(seen_table_suffix: str | None = None):
+        kw = {}
+        if seen_table_suffix:
+            base = "url_seen_keys" if args.urlSeen == "exact" else "url_seen_bloom"
+            kw["table"] = f"{base}_{seen_table_suffix}"
+        return CrawlEngine(
+            spark, store, images,
+            url_seen_kind=args.urlSeen,
+            batch_period=args.batchPeriod,
+            url_seen_kw=kw,
+        )
+
+    eng = make_engine()
 
     if args.command == "controller":
         from crawler_core_spark.sources.denylist import load_denylist
@@ -133,15 +151,27 @@ def main(argv: list[str] | None = None) -> int:
                 x for x in args.exclude.split(",") if x
             ),
         )
-        bulk = eng.publish(
-            targets, dns, denylist, robots, args.scanName,
-            default_port=args.portToBeScanned, scan_config=cfg,
-            monitored=args.monitor, notify_url=args.notifyUrl,
-        )
-        print(f"published: {bulk}")
-        stats = eng.run(max_batches=args.maxBatches, verbose=True)
-        roll = eng.finalize(args.scanName)
-        print(f"finalized: {roll} in {len(stats)} batches")
+        # cron loop (Controller.java:85-92): run -scanRuns scans, waiting
+        # -scanIntervalS between publications, then shut down when the
+        # last scan completes (shutdown-when-done listener semantics).
+        runs = max(1, int(args.scanRuns)) if args.scanIntervalS else 1
+        for i in range(runs):
+            if i > 0:
+                time.sleep(float(args.scanIntervalS))
+            scan_id = args.scanName if runs == 1 else f"{args.scanName}-{i}"
+            # per-scan URL-seen scope: a re-publication re-fetches its
+            # targets (the reference starts each scan with a fresh
+            # collection); within a scan dedup still applies.
+            eng = make_engine(seen_table_suffix=scan_id if runs > 1 else None)
+            bulk = eng.publish(
+                targets, dns, denylist, robots, scan_id,
+                default_port=args.portToBeScanned, scan_config=cfg,
+                monitored=args.monitor, notify_url=args.notifyUrl,
+            )
+            print(f"published[{i}]: {bulk}")
+            stats = eng.run(max_batches=args.maxBatches, verbose=True)
+            roll = eng.finalize(scan_id)
+            print(f"finalized[{i}]: {roll} in {len(stats)} batches")
     else:  # worker
         stats = eng.run(max_batches=args.maxBatches, verbose=True)
         print(f"worker drained frontier in {len(stats)} batches")

@@ -87,16 +87,20 @@ def _latest_bloom(st: pd.DataFrame) -> np.ndarray | None:
 
 
 class ExactUrlSeen:
-    """Exact seen-set over a committed keys table."""
+    """Exact seen-set over a committed keys table.
 
-    def __init__(self, store: TableStore):
+    ``table`` scopes the seen-set: recurring scans (CLI cron loop) use a
+    per-scan table so a re-publication re-fetches its targets."""
+
+    def __init__(self, store: TableStore, table: str = KEYS_TABLE):
         self.store = store
+        self.table = table
 
     def probe(self, df: DataFrame, key: str = "url_key") -> DataFrame:
         """Append boolean ``seen`` column."""
-        if not self.store.exists(KEYS_TABLE):
+        if not self.store.exists(self.table):
             return df.withColumn("seen", F.lit(False))
-        seen = self.store.read(KEYS_TABLE).select(
+        seen = self.store.read(self.table).select(
             F.col("url_key").alias("_seen_key")
         ).distinct().withColumn("_seen", F.lit(True))
         return (
@@ -107,8 +111,8 @@ class ExactUrlSeen:
 
     def stage_add(self, df: DataFrame, key: str = "url_key") -> tuple[str, tuple[str, str]]:
         """Stage the key append; caller includes it in the batch commit."""
-        rel = self.store.stage(df.select(F.col(key).alias("url_key")).distinct(), KEYS_TABLE)
-        return KEYS_TABLE, ("append", rel)
+        rel = self.store.stage(df.select(F.col(key).alias("url_key")).distinct(), self.table)
+        return self.table, ("append", rel)
 
 
 class BloomUrlSeen:
@@ -120,8 +124,10 @@ class BloomUrlSeen:
         partitions: int = 64,
         m_bits_per_partition: int = 1 << 20,
         compact_every: int = 64,
+        table: str = BLOOM_TABLE,
     ):
         self.store = store
+        self.table = table
         self.p = partitions
         self.m = m_bits_per_partition
         self.compact_every = compact_every
@@ -131,8 +137,8 @@ class BloomUrlSeen:
         return F.pmod(key_col, F.lit(self.p)).cast("int")
 
     def _state(self) -> DataFrame:
-        if self.store.exists(BLOOM_TABLE):
-            return self.store.read(BLOOM_TABLE)
+        if self.store.exists(self.table):
+            return self.store.read(self.table)
         return self.store.spark.createDataFrame([], BLOOM_SCHEMA)
 
     def probe(self, df: DataFrame, key: str = "url_key") -> DataFrame:
@@ -198,13 +204,13 @@ class BloomUrlSeen:
             .cogroup(state.groupBy("partition_id"))
             .applyInPandas(_merge, BLOOM_SCHEMA)
         )
-        rel = self.store.stage(merged, BLOOM_TABLE)
-        return BLOOM_TABLE, ("replace" if compacting else "append", rel)
+        rel = self.store.stage(merged, self.table)
+        return self.table, ("replace" if compacting else "append", rel)
 
 
 def make_url_seen(store: TableStore, kind: str = "exact", **kw):
     if kind == "exact":
-        return ExactUrlSeen(store)
+        return ExactUrlSeen(store, **kw)
     if kind == "bloom":
         return BloomUrlSeen(store, **kw)
     raise ValueError(kind)

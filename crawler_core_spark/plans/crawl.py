@@ -305,6 +305,18 @@ class CrawlEngine:
         )
         staged["bulk_scans"] = ("append", self.store.stage(bulk_df, "bulk_scans"))
         staged["counters"] = ("append", self.store.stage(lineage, "counters"))
+        # fresh politeness state per publication: the virtual clock resets
+        # to 0, so stale next_fetch_time from a previous scan (CLI cron
+        # re-publication) must not throttle the new frontier.
+        staged["host_state"] = (
+            "replace",
+            self.store.stage(
+                self.spark.createDataFrame(
+                    [], "host: string, next_fetch_time: double, crawl_delay: double"
+                ),
+                "host_state",
+            ),
+        )
         t = self._tick(timings, "pub_stage_meta", t)
         self.step_timings.append(timings)
         self.store.commit(

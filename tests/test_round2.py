@@ -446,3 +446,37 @@ def test_results_partition_and_sort_spec(spark, tmp_path):
     assert "PushedFilters" in plan and "GreaterThan(ts" in plan, plan
     # bulk_scan_id survives IN the data files (streaming source contract)
     assert res.filter(F.col("bulk_scan_id") == "bs-spec").count() == res.count()
+
+
+def test_cli_cron_republication(spark, tmp_path):
+    """Controller.java:85-92 + SchedulerListenerShutdown: -scanIntervalS
+    repeats the publication N times and shuts down when the last scan
+    drains; each scan re-fetches its targets (fresh per-scan URL-seen)."""
+    from crawler_core_spark.cli import main
+
+    host_file = tmp_path / "hosts.txt"
+    host_file.write_text("\n".join(synth.host_for_image(i) for i in range(4)) + "\n")
+    img_path = str(tmp_path / "imgs-cron.parquet")
+    spark.createDataFrame(synth.images_pandas(4)).write.mode("overwrite").parquet(img_path)
+    dns_path = str(tmp_path / "dns-cron.parquet")
+    dns_table(
+        spark, {synth.host_for_image(i): synth.ip_for_image(i) for i in range(4)}
+    ).write.mode("overwrite").parquet(dns_path)
+    wh = str(tmp_path / "wh-cron")
+    rc = main([
+        "controller", "-hostFile", str(host_file), "-warehouse", wh,
+        "-images", img_path, "-dns", dns_path, "-scanName", "cron",
+        "-urlSeen", "exact", "-scanIntervalS", "0.1", "-scanRuns", "2",
+    ])
+    assert rc == 0
+    store = TableStore(spark, wh)
+    res = store.read("results")
+    got = {
+        (r["bulk_scan_id"], r["status"]): r["count"]
+        for r in res.groupBy("bulk_scan_id", "status").count().collect()
+    }
+    # BOTH scans fetched all 4 targets (no cross-scan dedup)
+    assert got[("cron-0", "SUCCESS")] == 4
+    assert got[("cron-1", "SUCCESS")] == 4
+    finals = store.read("bulk_scan_final").collect()
+    assert {r["bulk_scan_id"] for r in finals} == {"cron-0", "cron-1"}
