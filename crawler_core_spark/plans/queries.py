@@ -841,3 +841,78 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_ivf"] = q_ann_ivf
+
+
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram Jaccard near-dup scoring for adjacent doc pairs —
+    the n-gram variant of the token-set path (robust to tokenization),
+    fully native: sequence -> transform(substring) -> array_distinct ->
+    array_intersect/union."""
+    d = load(spark, sf_dir, "documents")
+
+    def tri(colname):
+        c = F.col(colname)
+        n = F.length(c)
+        idx = F.sequence(F.lit(1), F.greatest(F.lit(1), n - 2))
+        return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(3))))
+
+    a = d.select("doc_id", tri("text").alias("ga"))
+    b = d.select((F.col("doc_id") - 1).alias("doc_id"), tri("text").alias("gb"))
+    j = a.join(b, "doc_id")
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = F.size(F.array_union("ga", "gb")).cast("double")
+    return j.select(
+        "doc_id",
+        F.round(F.when(union > 0, inter / union).otherwise(0.0), 6).alias(
+            "ngram_jaccard"
+        ),
+    )
+
+
+SQL_DOC_NGRAM_JACCARD = """
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(1, length(text) - 2) + 1),
+                                      i -> substring(text, CAST(i AS INTEGER), 3))) AS grams
+  FROM documents
+)
+SELECT a.doc_id,
+       round(CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
+             THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.grams, b.grams)))
+             ELSE 0.0 END, 6) AS ngram_jaccard
+FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+"""
+
+QUERIES["doc_ngram_jaccard"] = q_doc_ngram_jaccard
+ORACLE_SQL["doc_ngram_jaccard"] = SQL_DOC_NGRAM_JACCARD
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: all pairs above a cosine threshold
+    within the corpus (brute-force at oracle scale; the LSH/IVF buckets
+    above are the 10^10-row path for the same predicate)."""
+    from crawler_core_spark.operators.ann import _cosine
+
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = F.round(_cosine(F.col("va"), F.col("vb")), 6)
+    return (
+        pairs.select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.2)
+    )
+
+
+SQL_EMBED_NEAR_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.2
+"""
+
+QUERIES["embed_near_dup"] = q_embed_near_dup
+ORACLE_SQL["embed_near_dup"] = SQL_EMBED_NEAR_DUP
