@@ -889,16 +889,38 @@ ORACLE_SQL["doc_ngram_jaccard"] = SQL_DOC_NGRAM_JACCARD
 
 
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: all pairs above a cosine threshold
-    within the corpus (brute-force at oracle scale; the LSH/IVF buckets
-    above are the 10^10-row path for the same predicate)."""
-    from crawler_core_spark.operators.ann import _cosine
-
-    e = load(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    """Embedding-cosine near-dup pairs above a threshold, over a bounded
+    id range (brute-force at oracle scale; the LSH/IVF buckets above are
+    the 10^10-row path for the same predicate).  Norms are computed ONCE
+    per row before the pair join — the naive per-pair cosine recomputes
+    both norms |pairs| times (3x the higher-order-function work)."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    sq = F.aggregate(
+        "embedding", F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
+    dotted = e.select(
+        F.col("vec_id"), F.col("embedding"), F.sqrt(sq).alias("nrm")
+    )
+    a = dotted.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = dotted.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = F.round(_cosine(F.col("va"), F.col("vb")), 6)
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sim = F.round(
+        F.when((F.col("na") > 0) & (F.col("nb") > 0), dot / (F.col("na") * F.col("nb")))
+        .otherwise(F.lit(0.0)),
+        6,
+    )
     return (
         pairs.select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.2)
@@ -910,7 +932,8 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+WHERE a.vec_id < 500 AND b.vec_id < 500
+  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])), 6) >= 0.2
 """
 
