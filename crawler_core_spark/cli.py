@@ -101,7 +101,15 @@ def main(argv: list[str] | None = None) -> int:
     store = TableStore(spark, args.warehouse)
 
     if args.command == "compact":
-        cid = store.compact(args.table)
+        from pyspark.sql import functions as F
+
+        if args.table == "results":
+            # preserve the results partition/sort spec through compaction
+            cid = store.compact(
+                "results", partition_by=["bs_part"], sort_within=[F.desc("ts")]
+            )
+        else:
+            cid = store.compact(args.table)
         print(f"compacted {args.table} at commit {cid}")
         return 0
 
