@@ -75,6 +75,23 @@ def build_parser() -> argparse.ArgumentParser:
     w.add_argument("-urlSeen", choices=["exact", "bloom"], default="bloom")
     w.add_argument("-batchPeriod", type=float, default=10.0)
     w.add_argument("-maxBatches", type=int, default=None)
+    # per-scan URL-seen scope: a controller run with -scanRuns > 1 writes
+    # suffixed seen tables (url_seen_*_<scanName>-<i>); a worker resuming
+    # such a warehouse must probe the ACTIVE scan's table, not the global
+    # one, or it re-fetches already-seen URLs of that scan.
+    w.add_argument("-scanName", default=None,
+                   help="active scan id whose URL-seen table to probe "
+                        "(e.g. myscan-2 for a multi-run controller)")
+    # reference worker knobs (WorkerCommandConfig.java:27-36): accepted
+    # for flag-surface parity; in the dataflow engine Spark's executor
+    # cores own both scan and connection concurrency, so these map to
+    # documented no-ops (tune spark.master local[N] / executor cores).
+    w.add_argument("-parallelScanThreads", type=int, default=None,
+                   help="accepted for parity; concurrency is owned by "
+                        "Spark cores (no-op)")
+    w.add_argument("-parallelConnectionThreads", type=int, default=None,
+                   help="accepted for parity; concurrency is owned by "
+                        "Spark cores (no-op)")
 
     k = sub.add_parser("compact", help="compact a table's snapshots")
     k.add_argument("-warehouse", required=True)
@@ -181,6 +198,14 @@ def main(argv: list[str] | None = None) -> int:
             roll = eng.finalize(scan_id)
             print(f"finalized[{i}]: {roll} in {len(stats)} batches")
     else:  # worker
+        if args.parallelScanThreads or args.parallelConnectionThreads:
+            print(
+                "note: -parallelScanThreads/-parallelConnectionThreads are "
+                "accepted for reference-flag parity; concurrency is owned "
+                "by Spark executor cores in this engine"
+            )
+        if args.scanName:
+            eng = make_engine(seen_table_suffix=args.scanName)
         stats = eng.run(max_batches=args.maxBatches, verbose=True)
         print(f"worker drained frontier in {len(stats)} batches")
     return 0

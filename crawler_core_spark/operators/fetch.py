@@ -50,6 +50,18 @@ FETCH_OUT_COLS = [
 ]
 
 
+# corpus bucketing for batch-driven scan pruning: the images table is
+# hive-partitioned by this bucket of image_id at write time; the engine
+# pushes each batch's distinct bucket set as a partition filter
+# (CrawlEngine._pruned_images).  Writer and prober MUST share this expr.
+IMAGES_BUCKET_COL = "img_bucket"
+IMAGES_BUCKETS_DEFAULT = 64
+
+
+def image_bucket_col(image_id_col, n_buckets: int = IMAGES_BUCKETS_DEFAULT) -> F.Column:
+    return F.pmod(F.xxhash64(image_id_col), F.lit(int(n_buckets))).cast("int")
+
+
 def image_id_from_host(host_col) -> F.Column:
     """Synthetic-corpus URL->content-key mapping: img-00042.example.net -> img-00042
     (FIXTURES.md §2). Case-insensitive + trailing-dot tolerant, matching the
@@ -113,11 +125,16 @@ def fetch_hits(
     meta_mismatch = (F.col("_meta.w") != F.col("_decl_w")) | (
         F.col("_meta.h") != F.col("_decl_h")
     )
+    # Timeout-first precedence: the reference times out in
+    # waitForScanResult (core/Worker.java:78-91) BEFORE the result is ever
+    # examined, so a row that both exceeds the deadline and violates the
+    # metadata contract is CANCELLED (terminal), not CRAWLER_ERROR
+    # (retryable) — the ordering changes retry behavior for such rows.
     hit_status = (
         F.when(F.col("_bytes").isNull(), F.lit("EMPTY"))
         .when(~F.coalesce(F.col("_meta.ok"), F.lit(False)), F.lit("ERROR"))
-        .when(meta_mismatch, F.lit("CRAWLER_ERROR"))
         .when(F.col("fetch_cost_ms") > timeout, F.lit("CANCELLED"))
+        .when(meta_mismatch, F.lit("CRAWLER_ERROR"))
         .otherwise(F.lit("SUCCESS"))
     )
     if internal_fault is not None:
@@ -179,27 +196,14 @@ def fetch_batch(
 ) -> DataFrame:
     """Convenience: hits + misses in one DataFrame.
 
-    For the engine loop prefer ``fetch_hits`` (persist) + ``fetch_misses``
-    so the decode runs once.  Here the miss side anti-joins against a
-    slim batch->corpus-id inner join (batch broadcast, corpus streamed,
-    single pruned ``image_id`` column scan) — still no corpus broadcast.
+    The hits are persisted so the miss side's anti-join (``fetch_misses``)
+    probes the cached hits instead of paying a second corpus scan — the
+    plan shows ONE corpus scan, same as the engine path.  The cache is a
+    batch-bounded result set (no corpus-sized persist); suite-scale
+    callers rely on Spark's LRU eviction, the engine loop manages its own
+    persist/unpersist explicitly.
     """
-    hits = fetch_hits(batch, images, scan_timeout_ms, broadcast_batch, internal_fault)
-    b = batch.withColumn("image_id", image_id_from_host(F.col("host")))
-    slim = b.select("job_id", "image_id")
-    hit_ids = images.select(F.col("image_id")).join(
-        F.broadcast(slim) if broadcast_batch else slim, "image_id", "inner"
-    ).select("job_id")
-    misses = (
-        b.join(hit_ids, "job_id", "left_anti")
-        .withColumn("status", F.lit("EMPTY"))
-        .withColumn("result_status", F.lit("EMPTY"))
-        .withColumn("fetch_cost_ms", F.lit(None).cast("double"))
-        .withColumn("result_caption", F.lit(None).cast("string"))
-        .withColumn("result_phash", F.lit(None).cast("long"))
-        .withColumn("result_w", F.lit(None).cast("int"))
-        .withColumn("result_h", F.lit(None).cast("int"))
-        .withColumn("result_fmt", F.lit(None).cast("string"))
-        .withColumn("corpus_phash", F.lit(None).cast("long"))
-    )
-    return hits.unionByName(misses.select(*hits.columns))
+    hits = fetch_hits(
+        batch, images, scan_timeout_ms, broadcast_batch, internal_fault
+    ).persist()
+    return hits.unionByName(fetch_misses(batch, hits).select(*hits.columns))

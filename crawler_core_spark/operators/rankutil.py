@@ -50,15 +50,17 @@ def dense_seq(
         return spark.createDataFrame([], schema)
     lo, hi = int(stats["lo"]), int(stats["hi"])
     span = max(hi - lo + 1, 1)
-    # Bucket in DOUBLE, divide-before-overflow: (key-lo)*p in int64 wraps
-    # once span approaches 2^63 (packed composite keys do).  x->double is
-    # monotone non-decreasing, as are *p/span and floor, so bucket ids stay
-    # monotone in the key — balance may shift at the double's 2^53 grain,
-    # correctness never does.  Clamp key==hi into the last bucket.
+    # Bucket ENTIRELY in DOUBLE: (key - lo) in int64 wraps when keys span
+    # negative to positive (hi - lo >= 2^63), so the subtraction itself
+    # must happen after the double cast, not before.  x->double is
+    # monotone non-decreasing, as are -lo, *p/span and floor, so bucket
+    # ids stay monotone in the key — balance may shift at the double's
+    # 2^53 grain, correctness never does.  Clamp key==hi into the last
+    # bucket.
     bucket = F.least(
         F.lit(p - 1).cast("long"),
         F.floor(
-            (F.col("_rank_key") - F.lit(lo)).cast("double")
+            (F.col("_rank_key").cast("double") - F.lit(float(lo)))
             * F.lit(float(p))
             / F.lit(float(span))
         ),

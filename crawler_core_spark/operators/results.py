@@ -30,19 +30,36 @@ def results_for_target(results: DataFrame, target: str) -> DataFrame:
     return results.filter((F.col("hostname") == target) | (F.col("ip") == target))
 
 
-def merge_partials(store, new_partials: DataFrame, table: str = "partial_results") -> int:
+def merge_partials(
+    store,
+    new_partials: DataFrame,
+    table: str = "partial_results",
+    compact_every: int | None = 16,
+) -> int:
     """K4 — upsert keyed by job_id (``replaceOne(_id=jobId, upsert=true)``,
-    MongoPersistenceProvider.java:397-423): the MERGE-equivalent over the
-    snapshot store. Latest partial per job wins (ts tie-broken by batch_id
-    like O2); stale partials are superseded, final results (written to the
-    results table) take precedence downstream."""
-    if store.exists(table):
+    MongoPersistenceProvider.java:397-423), expressed scale-first as an
+    APPEND-ONLY upsert log: each batch appends only its own partials
+    (O(batch) write volume) and latest-wins is applied AT READ
+    (``read_partials`` — the results-table O2 pattern).  The previous
+    whole-table window+replace per batch was O(table) per batch.  Once
+    the live snapshot chain reaches ``compact_every`` directories, one
+    compacted replace (window applied once) bounds both the chain length
+    and the superseded-row volume readers must skip."""
+    if (
+        compact_every
+        and store.exists(table)
+        and store.snapshot_count(table) + 1 >= compact_every
+    ):
         merged = latest_result_per_job(
             store.read(table).unionByName(new_partials, allowMissingColumns=True)
         )
-    else:
-        merged = latest_result_per_job(new_partials)
-    return store.write(merged, table, mode="replace")
+        return store.write(merged, table, mode="replace")
+    return store.write(new_partials, table, mode="append")
+
+
+def read_partials(store, table: str = "partial_results") -> DataFrame:
+    """Latest-wins view over the append-only partials log (O2 at read)."""
+    return latest_result_per_job(store.read(table))
 
 
 def validate_fetch_invariant(

@@ -100,9 +100,14 @@ class ExactUrlSeen:
         """Append boolean ``seen`` column."""
         if not self.store.exists(self.table):
             return df.withColumn("seen", F.lit(False))
+        # no .distinct(): the keys table is unique by construction —
+        # stage_add writes distinct keys per batch, and a key already in
+        # the table can never be re-added (its later jobs probe seen=true
+        # and are DEDUPED before reaching a terminal fetch) — so the
+        # full-table dedup shuffle the probe used to pay bought nothing.
         seen = self.store.read(self.table).select(
             F.col("url_key").alias("_seen_key")
-        ).distinct().withColumn("_seen", F.lit(True))
+        ).withColumn("_seen", F.lit(True))
         return (
             df.join(seen, df[key] == seen["_seen_key"], "left")
             .withColumn("seen", F.coalesce(F.col("_seen"), F.lit(False)))
@@ -131,7 +136,6 @@ class BloomUrlSeen:
         self.p = partitions
         self.m = m_bits_per_partition
         self.compact_every = compact_every
-        self._adds = 0
 
     def _pid(self, key_col):
         return F.pmod(key_col, F.lit(self.p)).cast("int")
@@ -171,13 +175,18 @@ class BloomUrlSeen:
 
         Normal batches: cogroup restricted to TOUCHED partitions (state
         semi-joined on the new keys' partition ids) -> an APPEND of one
-        new ver per touched partition.  Every ``compact_every``-th add:
-        full-state REPLACE (every partition re-emitted at its merged
-        latest ver) to bound the version chain.
+        new ver per touched partition.  Once the table's live snapshot
+        chain reaches ``compact_every`` directories: full-state REPLACE
+        (every partition re-emitted at its merged latest ver) to bound
+        the version chain.  The cadence derives from PERSISTED state
+        (snapshot_count), not an in-memory counter — repeated short
+        CLI/worker runs on one warehouse still compact on schedule.
         """
         m = self.m
-        self._adds += 1
-        compacting = self.compact_every and self._adds % self.compact_every == 0
+        compacting = bool(
+            self.compact_every
+            and self.store.snapshot_count(self.table) + 1 >= self.compact_every
+        )
         keyed = df.select(F.col(key).alias("url_key")).withColumn(
             "_pid", self._pid(F.col("url_key"))
         )

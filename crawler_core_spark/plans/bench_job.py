@@ -78,14 +78,26 @@ def run_crawl_job(
     # range, synth seed/corrupt schedule AND a synth/codec version tag —
     # a stale /tmp parquet from older generator code must never feed a
     # bench or scaling-evidence run.
+    from crawler_core_spark.operators.fetch import (
+        IMAGES_BUCKET_COL,
+        IMAGES_BUCKETS_DEFAULT,
+        image_bucket_col,
+    )
+
+    # corpus is hive-partitioned by bucket(image_id) at write time so the
+    # engine can push each batch's bucket set as a partition filter (J6
+    # corpus pruning); the -b tag keys the cache on the layout too.
     images_path = (
         f"/tmp/spark-graft-corpus-v{synth.SYNTH_VERSION}-{n_img}"
         f"-{img_px[0]}x{img_px[1]}-s{synth.DEFAULT_SEED}-c{synth.DEFAULT_CORRUPT_EVERY}"
+        f"-b{IMAGES_BUCKETS_DEFAULT}"
     )
     if not os.path.exists(os.path.join(images_path, "_SUCCESS")):
         synth.images_df(
             spark, n_img, px_min=img_px[0], px_max=img_px[1]
-        ).write.mode("overwrite").parquet(images_path)
+        ).withColumn(
+            IMAGES_BUCKET_COL, image_bucket_col(F.col("image_id"))
+        ).write.partitionBy(IMAGES_BUCKET_COL).mode("overwrite").parquet(images_path)
     images = spark.read.parquet(images_path)
     store = TableStore(spark, root)
     eng = CrawlEngine(
@@ -93,6 +105,8 @@ def run_crawl_job(
         batch_period=10_000.0, salt_buckets=16,
         url_seen_kw={"partitions": 64, "m_bits_per_partition": 1 << 22}
         if url_seen_kind == "bloom" else {},
+        images_bucket_col=IMAGES_BUCKET_COL,
+        images_buckets=IMAGES_BUCKETS_DEFAULT,
     )
     t0 = time.time()
     # reexecutions=0: in the reference, reexecutions are INSIDE the

@@ -37,7 +37,9 @@ Reference semantics modeled per batch (round 2):
   consumer vs the ack transaction); final results supersede via O2.
 
 Tables:
-  frontier    (replace)  — pending TO_BE_EXECUTED rows (+attempt, config)
+  frontier    (merge)    — pending TO_BE_EXECUTED rows (+attempt, config),
+                           hive-partitioned by fpart = pmod(url_key, P);
+                           each batch rewrites only touched partitions
   results     (append)   — terminal rows incl. publish-time errors
   host_state  (replace)  — (host, next_fetch_time, crawl_delay)
   url_seen_*  (append)   — see operators/url_seen.py
@@ -45,7 +47,8 @@ Tables:
                            fetched / deduped / deferred / robots_blocked
   bulk_scans  (append)   — scan-run metadata rows (K1/K2 as append-log,
                            latest row wins like O2)
-  partial_results (replace) — K4 progress-stream upserts
+  partial_results (append) — K4 progress-stream upsert log (latest-wins
+                           at read via read_partials; periodic compaction)
   notifications (append) — K7/K8 no-op completion webhook rows
 """
 
@@ -115,6 +118,32 @@ def _with_null_results(df: DataFrame) -> DataFrame:
     return df
 
 
+# Timestamped per-scan collection naming (BulkScan.java:59-60): the
+# reference derives a Mongo collection name `name_yyyy-MM-dd_HH-mm` at
+# publish; here it's a bulk_scans column so retrieval can address a scan
+# run by its formatted name (getCollectionName round-trip, BulkScan.java:91).
+COLLECTION_TS_FMT = "yyyy-MM-dd_HH-mm"
+_COLLECTION_SUFFIX_RE = r"_\d{4}-\d{2}-\d{2}_\d{2}-\d{2}$"
+
+
+def collection_name_col(name_col: Column, published_at_col: Column) -> Column:
+    """`name_yyyy-MM-dd_HH-mm` via native date_format over the publish
+    timestamp (epoch seconds, session timezone)."""
+    return F.concat(
+        name_col,
+        F.lit("_"),
+        F.date_format(F.to_timestamp(published_at_col), COLLECTION_TS_FMT),
+    )
+
+
+def scan_name_from_collection(collection_name: str) -> str:
+    """Inverse of collection_name_col (the getCollectionName round-trip):
+    strip the trailing `_yyyy-MM-dd_HH-mm` stamp."""
+    import re
+
+    return re.sub(_COLLECTION_SUFFIX_RE, "", collection_name)
+
+
 @dataclass
 class BatchStats:
     batch_id: int
@@ -145,6 +174,10 @@ class CrawlEngine:
         emit_partials: bool = False,
         partial_cost_threshold: float | None = None,
         compact_results_every: int | None = None,
+        frontier_parts: int = 64,
+        compact_frontier_every: int | None = 64,
+        images_bucket_col: str | None = None,
+        images_buckets: int | None = None,
     ):
         self.spark = spark
         self.store = store
@@ -159,7 +192,59 @@ class CrawlEngine:
         self.emit_partials = emit_partials
         self.partial_cost_threshold = partial_cost_threshold
         self.compact_results_every = compact_results_every
+        # K6 frontier scale contract: the frontier is hive-partitioned by
+        # pmod(url_key, frontier_parts); each batch commits a MERGE
+        # snapshot rewriting only the partitions that contain selected/
+        # requeued rows — per-batch write volume is O(touched partitions),
+        # not O(pending frontier) (the bloom-delta pattern applied to the
+        # frontier itself; at a 10^10-row frontier the full rewrite was
+        # the dominant per-batch cost).  Every compact_frontier_every
+        # batches one full replace bounds the merge chain.
+        self.frontier_parts = frontier_parts
+        self.compact_frontier_every = compact_frontier_every
+        # J6 scale contract: when the corpus is hive-partitioned by a
+        # bucket of image_id (images_bucket_col, images_buckets), each
+        # batch derives its distinct bucket set and pushes it as a
+        # partition filter on the corpus scan — a politeness-bounded
+        # batch scans O(batch buckets), not the whole 100 TB corpus
+        # (runtime-filter / DPP analogue).
+        self.images_bucket_col = images_bucket_col
+        self.images_buckets = images_buckets
         self.step_timings: list[dict] = []  # per-batch driver-step seconds
+
+    def _fpart(self) -> Column:
+        return F.pmod(F.col("url_key"), F.lit(self.frontier_parts)).cast("int")
+
+    def _pruned_images(self, batch: DataFrame) -> DataFrame:
+        """J6 corpus pruning: restrict the corpus scan to the hive
+        buckets the batch can possibly hit.  The batch's distinct bucket
+        set (<= images_buckets ints, a bounded driver fetch over the
+        politeness-bounded batch) becomes a partition filter on the
+        corpus scan — the runtime-filter/DPP analogue.  Correctness is
+        unchanged: a corpus row can only join a batch row with the same
+        image_id, hence the same bucket; misses are derived batch-side.
+        No-op unless the corpus carries the bucket column."""
+        from crawler_core_spark.operators.fetch import (
+            IMAGES_BUCKETS_DEFAULT,
+            image_bucket_col,
+            image_id_from_host,
+        )
+
+        if (
+            not self.images_bucket_col
+            or self.images_bucket_col not in self.images.columns
+        ):
+            return self.images
+        n = int(self.images_buckets or IMAGES_BUCKETS_DEFAULT)
+        buckets = [
+            r["b"]
+            for r in batch.select(
+                image_bucket_col(image_id_from_host(F.col("host")), n).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        return self.images.filter(F.col(self.images_bucket_col).isin(buckets))
 
     def _tick(self, timings: dict, label: str, t0: float) -> float:
         now = time.time()
@@ -180,9 +265,12 @@ class CrawlEngine:
         scan_config: ScanConfig | None = None,
         monitored: bool = False,
         notify_url: str | None = None,
+        published_at: float | None = None,
     ) -> dict:
         timings: dict = {}
         t = time.time()
+        if published_at is None:
+            published_at = time.time()
         cfg = scan_config or ScanConfig(timeout_ms=self.scan_timeout_ms)
         routed = parse_and_route(targets, dns, denylist, bulk_scan_id, default_port)
 
@@ -223,6 +311,7 @@ class CrawlEngine:
             .withColumn("attempt", F.lit(0))
             .withColumn("scan_config", cfg.as_column())
             .select(*FRONTIER_COLS)
+            .withColumn("fpart", self._fpart())
         )
 
         publish_ts = 0.0
@@ -251,7 +340,12 @@ class CrawlEngine:
         t = self._tick(timings, "pub_plan", t)
 
         staged = {}
-        staged["frontier"] = ("replace", self.store.stage(frontier, "frontier"))
+        # the frontier's base snapshot: hive-partitioned by fpart so batch
+        # commits can MERGE individual partitions (run loop)
+        staged["frontier"] = (
+            "replace",
+            self.store.stage(frontier, "frontier", partition_by=["fpart"]),
+        )
         robots_blocked = int(robots_obs.get["blocked"])
         hist = {s: int(n) for s, n in hist_obs.get.items() if n}
         t = self._tick(timings, "pub_stage_frontier", t)
@@ -277,6 +371,12 @@ class CrawlEngine:
         targets_given = int(sum(hist.values()))
         bulk_row = {
             "bulk_scan_id": bulk_scan_id,
+            # commit-order stamp: parquet row order across unioned
+            # snapshots is arbitrary, so re-publications of the SAME
+            # bulk_scan_id are disambiguated by max_by(pub_seq), never by
+            # collect order (finalize).
+            "pub_seq": len(self.store.log()),
+            "published_at": float(published_at),
             "targets_given": targets_given,
             "scan_jobs_published": counters["scan_jobs_published"],
             "scan_jobs_resolution_errors": counters["scan_jobs_resolution_errors"],
@@ -290,13 +390,17 @@ class CrawlEngine:
         }
         bulk_df = self.spark.createDataFrame(
             [bulk_row],
-            "bulk_scan_id: string, targets_given: long, "
+            "bulk_scan_id: string, pub_seq: long, published_at: double, "
+            "targets_given: long, "
             "scan_jobs_published: long, scan_jobs_resolution_errors: long, "
             "scan_jobs_denylisted: long, robots_blocked: long, "
             "finished: boolean, successful_scans: long, monitored: boolean, "
             "notify_url: string, cfg_scanner_detail: string, "
             "cfg_reexecutions: int, cfg_timeout_ms: double, "
             "cfg_parallel_probes: int, cfg_excluded_probes: array<string>",
+        ).withColumn(
+            "collection_name",
+            collection_name_col(F.col("bulk_scan_id"), F.col("published_at")),
         )
 
         lineage = self.spark.createDataFrame(
@@ -374,7 +478,14 @@ class CrawlEngine:
             )
 
             selected = eligible_sel.persist()
-            sel_cnt = selected.count()
+            # one action does double duty: the selected count AND the set
+            # of touched frontier partitions (<= frontier_parts rows to
+            # the driver) that the merge commit below will rewrite.
+            part_counts = (
+                selected.groupBy("fpart").agg(F.count(F.lit(1)).alias("n")).collect()
+            )
+            sel_cnt = int(sum(r["n"] for r in part_counts))
+            touched_parts = sorted(int(r["fpart"]) for r in part_counts)
             eligible_cnt = int(elig_obs.get["eligible"])
             t = self._tick(timings, "select_batch", t)
             if sel_cnt == 0:
@@ -417,7 +528,7 @@ class CrawlEngine:
             )
             hits = fetch_hits(
                 fetch_src,
-                self.images,
+                self._pruned_images(to_fetch),
                 timeout_col,
                 broadcast_batch=use_bcast,
                 internal_fault=fault,
@@ -546,10 +657,27 @@ class CrawlEngine:
             requeue = requeue.observe(
                 req_obs, F.count(F.lit(1)).alias("requeued")
             )
+            # partition-incremental frontier commit: only partitions with
+            # selected rows change (requeued rows come FROM the selected
+            # batch, so their partitions are already in touched_parts) —
+            # the rewrite is O(touched partitions), not O(frontier).
+            # Every compact_frontier_every batches, a full replace bounds
+            # the merge-chain length (snapshot compaction).
+            compacting_frontier = bool(
+                self.compact_frontier_every
+                and batch_id > 0
+                and batch_id % self.compact_frontier_every == 0
+            )
+            frontier_src = (
+                frontier
+                if compacting_frontier
+                else frontier.filter(F.col("fpart").isin(touched_parts))
+            )
             new_frontier = (
-                frontier.join(selected.select("job_id"), "job_id", "left_anti")
+                frontier_src.join(selected.select("job_id"), "job_id", "left_anti")
                 .select(*FRONTIER_COLS)
                 .unionByName(requeue)
+                .withColumn("fpart", self._fpart())
             )
             new_host_state = updated_host_state(
                 host_state, fetched_all.select("host", "crawl_delay"), clock
@@ -621,7 +749,14 @@ class CrawlEngine:
             )
             deduped_cnt = batch_counts.get("DEDUPED", 0)
             t = self._tick(timings, "stage_results", t)
-            staged["frontier"] = ("replace", self.store.stage(new_frontier, "frontier"))
+            frontier_rel = self.store.stage(
+                new_frontier, "frontier", partition_by=["fpart"]
+            )
+            staged["frontier"] = (
+                ("replace", frontier_rel)
+                if compacting_frontier
+                else ("merge", frontier_rel, "fpart", touched_parts)
+            )
             requeued_cnt = int(req_obs.get["requeued"])
             t = self._tick(timings, "stage_frontier", t)
             staged["host_state"] = ("replace", self.store.stage(new_host_state, "host_state"))
@@ -728,15 +863,21 @@ class CrawlEngine:
         # + K8 webhook no-op: record what WOULD be POSTed.
         monitored, notify_url = False, None
         if self.store.exists("bulk_scans"):
+            # latest PUBLICATION wins: max_by over the commit-order stamp
+            # (collect order over unioned parquet snapshots is arbitrary)
             bs = (
                 self.store.read("bulk_scans")
                 .filter(F.col("bulk_scan_id") == bulk_scan_id)
-                .select("monitored", "notify_url")
-                .collect()
+                .agg(
+                    F.max_by("monitored", "pub_seq").alias("monitored"),
+                    F.max_by("notify_url", "pub_seq").alias("notify_url"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()[0]
             )
-            if bs:
-                monitored = bool(bs[-1]["monitored"])
-                notify_url = bs[-1]["notify_url"]
+            if bs["n"]:
+                monitored = bool(bs["monitored"])
+                notify_url = bs["notify_url"]
         if monitored:
             payload = json.dumps(row, sort_keys=True)
             self.store.write(

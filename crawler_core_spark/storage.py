@@ -29,6 +29,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _LOG = "_commits.json"
 
@@ -89,17 +90,28 @@ class TableStore:
                 f.write(df.schema.json())
         return rel
 
-    def commit(self, staged: dict[str, tuple[str, str]], meta: dict | None = None) -> int:
-        """staged: table -> (mode, relpath); mode in {'append','replace'}.
-        All tables become visible atomically. Returns commit id."""
+    def commit(self, staged: dict[str, tuple], meta: dict | None = None) -> int:
+        """staged: table -> (mode, relpath) with mode in {'append',
+        'replace'}, or ('merge', relpath, part_col, part_values) for a
+        PARTITION-LEVEL replace (Iceberg MERGE / dynamic-partition-
+        overwrite analogue): the snapshot supersedes exactly the listed
+        hive partitions of the table — a listed partition with no data
+        files in the snapshot becomes empty.  All tables become visible
+        atomically.  Returns commit id."""
         entries = self.log()
         commit_id = len(entries)
+        tables = {}
+        for t, v in staged.items():
+            if v[0] == "merge":
+                _, p, part_col, parts = v
+                tables[t] = {
+                    "mode": "merge", "path": p,
+                    "part_col": part_col, "parts": [int(x) for x in parts],
+                }
+            else:
+                tables[t] = {"mode": v[0], "path": v[1]}
         entries.append(
-            {
-                "commit_id": commit_id,
-                "meta": meta or {},
-                "tables": {t: {"mode": m, "path": p} for t, (m, p) in staged.items()},
-            }
+            {"commit_id": commit_id, "meta": meta or {}, "tables": tables}
         )
         self._write_log(entries)
         return commit_id
@@ -141,9 +153,67 @@ class TableStore:
                 continue
             if t["mode"] == "replace":
                 paths = [t["path"]]
-            else:
+            else:  # append and merge both extend the live chain
                 paths.append(t["path"])
         return [os.path.join(self.root, p) for p in paths]
+
+    def _merge_entries(self, table: str) -> list[dict] | None:
+        """Live entry chain for a table that uses merge commits, or None
+        if the table has no merge entries (plain append/replace table)."""
+        chain: list[dict] = []
+        any_merge = False
+        for e in self.log():
+            t = e["tables"].get(table)
+            if t is None:
+                continue
+            if t["mode"] == "replace":
+                chain = [t]
+                any_merge = False
+            else:
+                chain.append(t)
+                any_merge = any_merge or t["mode"] == "merge"
+        return chain if any_merge else None
+
+    def _read_merge(self, table: str, chain: list[dict]) -> DataFrame:
+        """Merge-on-read: each partition's rows come from the LAST
+        snapshot that owns it (a merge entry listing it, else the base
+        replace snapshot).  Only the owning subdirectories are read, so a
+        scan never re-reads superseded partition data."""
+        part_col = next(e["part_col"] for e in chain if e["mode"] == "merge")
+        owner: dict[int, str] = {}
+        base: str | None = None
+        for t in chain:
+            if t["mode"] == "merge":
+                for v in t["parts"]:
+                    owner[int(v)] = t["path"]
+            else:  # the base replace snapshot (appends unsupported here)
+                base = t["path"]
+        pieces: list[DataFrame] = []
+        if base is not None:
+            bdf = self._read_snapshot(os.path.join(self.root, base))
+            if owner:
+                bdf = bdf.filter(~F.col(part_col).isin(list(owner)))
+            pieces.append(bdf)
+        by_path: dict[str, list[int]] = {}
+        for v, p in owner.items():
+            by_path.setdefault(p, []).append(v)
+        for p, vals in by_path.items():
+            full = os.path.join(self.root, p)
+            subdirs = [
+                os.path.join(full, f"{part_col}={v}")
+                for v in vals
+                if os.path.isdir(os.path.join(full, f"{part_col}={v}"))
+            ]
+            if subdirs:
+                pieces.append(
+                    self.spark.read.option("basePath", full).parquet(*subdirs)
+                )
+        if not pieces:
+            raise KeyError(f"merge table {table!r} resolved to no snapshots")
+        df = pieces[0]
+        for extra in pieces[1:]:
+            df = df.unionByName(extra, allowMissingColumns=True)
+        return df
 
     def exists(self, table: str) -> bool:
         return bool(self.table_paths(table))
@@ -182,6 +252,9 @@ class TableStore:
             if schema is None:
                 raise KeyError(f"table {table!r} has no committed snapshots")
             return self.spark.createDataFrame([], schema)
+        chain = self._merge_entries(table)
+        if chain is not None:
+            return self._read_merge(table, chain)
         special = [
             p for p in paths
             if self._is_partitioned(p) or self._is_empty_partitioned(p)

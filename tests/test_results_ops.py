@@ -10,6 +10,7 @@ from crawler_core_spark.operators.results import (
     assert_status_invariant,
     latest_result_per_job,
     merge_partials,
+    read_partials,
     results_for_target,
     validate_fetch_invariant,
 )
@@ -60,8 +61,28 @@ def test_merge_partials_upsert(spark, store):
         "job_id: string, ts: double, batch_id: int, payload: string",
     )
     merge_partials(store, p2)
-    got = {r["job_id"]: r["payload"] for r in store.read("partial_results").collect()}
+    # upsert view: latest-wins applied at read over the append-only log
+    got = {r["job_id"]: r["payload"] for r in read_partials(store).collect()}
     assert got == {"j1": "v2", "j2": "v1"}
+    # write volume is O(batch): each merge appended only its own rows
+    assert store.snapshot_count("partial_results") == 2
+
+
+def test_merge_partials_write_volume_and_compaction(spark, store):
+    """K4 scale contract: per-batch commit volume is the batch's own rows
+    (append-only), and the compaction cadence collapses the chain."""
+    for i in range(5):
+        p = spark.createDataFrame(
+            [("j1", float(i), i, f"v{i}")],
+            "job_id: string, ts: double, batch_id: int, payload: string",
+        )
+        merge_partials(store, p, compact_every=5)
+    # 4 appends then the 5th triggers a compacting replace
+    assert store.snapshot_count("partial_results") == 1
+    rows = read_partials(store).collect()
+    assert len(rows) == 1 and rows[0]["payload"] == "v4"
+    # raw table after compaction holds only the surviving row
+    assert store.read("partial_results").count() == 1
 
 
 def test_progress_monitor_reference_math():
