@@ -939,3 +939,82 @@ WHERE a.vec_id < 500 AND b.vec_id < 500
 
 QUERIES["embed_near_dup"] = q_embed_near_dup
 ORACLE_SQL["embed_near_dup"] = SQL_EMBED_NEAR_DUP
+
+
+# ---------------------------------------------------------------------------
+# exhaustive-parameter twins: the approximate operators driven at
+# parameters that collapse them onto an SQL-expressible EXACT result,
+# so the driver's oracle gate exercises the same machinery end-to-end.
+# The approximate-parameter variants above stay rows-only with their
+# pytest recall gates.
+# ---------------------------------------------------------------------------
+
+def q_ann_lsh_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN at n_planes=0: every vector lands in the single bucket, so
+    the bucket hash join degenerates to the full candidate set and the
+    result must EQUAL brute-force top-k — same code path (bucket columns,
+    bucket join, per-bucket cosine + window) with an exact oracle."""
+    from crawler_core_spark.operators.ann import lsh_bucket_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return lsh_bucket_topk(e, queries, k=10, n_planes=0)
+
+
+def q_ann_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at n_probe = n_centroids: every query probes every cell, so
+    the inverted-file join covers the whole corpus and the result must
+    EQUAL brute-force top-k — training, cell assignment, probe join and
+    ranking all execute with an exact oracle."""
+    from crawler_core_spark.operators.ann import ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk(e, queries, k=10, n_centroids=8, n_probe=8, sample=1024)
+
+
+QUERIES["ann_lsh_exhaustive"] = q_ann_lsh_exhaustive
+ORACLE_SQL["ann_lsh_exhaustive"] = SQL_ANN_TOPK
+QUERIES["ann_ivf_exhaustive"] = q_ann_ivf_exhaustive
+ORACLE_SQL["ann_ivf_exhaustive"] = SQL_ANN_TOPK
+
+
+def q_doc_minhash_exact_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH driven at recall-complete parameters: 16 bands of 1 row
+    (a pair is a candidate if ANY of its 16 minhashes collide — miss
+    probability (1-j)^16 <= 7e-12 at the j>=0.8 verify threshold, and the
+    hashing is deterministic so the result is stable on the fixed test
+    tables), no bucket cap, exact-verified output only (id_a, id_b,
+    jaccard).  Collapses onto the SQL all-pairs exact Jaccard >= 0.8 —
+    the full LSH pipeline (signatures, banding, self-join, verify) runs
+    under the driver's oracle gate."""
+    from crawler_core_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, id_col="doc_id", text_col="text", n_hashes=16, bands=16,
+        verify_threshold=0.8, max_bucket=None,
+    ).select("id_a", "id_b", "jaccard")
+
+
+SQL_DOC_MINHASH_EXACT_TWIN = """
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+  FROM documents
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) > 0
+               THEN CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.toks, b.toks)))
+               ELSE 0.0 END, 6) AS jaccard
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
+"""
+
+QUERIES["doc_minhash_exact_twin"] = q_doc_minhash_exact_twin
+ORACLE_SQL["doc_minhash_exact_twin"] = SQL_DOC_MINHASH_EXACT_TWIN
