@@ -75,6 +75,50 @@ def fingerprint_col(text: str | Column = "text") -> Column:
     return F.xxhash64(F.array_join(tokens_col(F.lower(F.col(text) if isinstance(text, str) else text)), " "))
 
 
+def winnow_fingerprints_col(
+    text: str | Column = "text", k: int = 4, window: int = 5, base: int = 257
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 — the
+    rolling-hash dedup/decontamination primitive): hash every char
+    k-gram with a polynomial rolling hash, then keep the minimum of each
+    ``window`` consecutive hashes; the distinct minima are the document's
+    fingerprint set.  Guarantees a shared fingerprint for any match of
+    length >= window + k - 1 between two documents.
+
+    Entirely native (sequence -> transform -> slice -> array_min, one
+    whole-stage-codegen projection, no shuffle, no Python) and expressed
+    in closed form so a SQL oracle computes the identical values: the
+    gram hash is sum(code(c_{i+j}) * base^(k-1-j)), exact in int64 — no
+    modulus, no engine-specific hash function.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+
+    def gram(i):
+        h = F.lit(0).cast("long")
+        for j in range(k):
+            h = h + F.ascii(c.substr(i + F.lit(j), F.lit(1))).cast("long") * F.lit(
+                base ** (k - 1 - j)
+            )
+        return h
+
+    empty = F.array().cast("array<bigint>")
+    # guard: F.sequence(1, m) DESCENDS when m < 1, so short docs must
+    # short-circuit to an empty gram/window list explicitly
+    hs = F.when(n >= k, F.transform(F.sequence(F.lit(1), n - k + 1), gram)).otherwise(
+        empty
+    )
+    n_h = F.size(hs)
+    fps = F.when(
+        n_h >= window,
+        F.transform(
+            F.sequence(F.lit(1), n_h - window + 1),
+            lambda j: F.array_min(F.slice(hs, j, window)),
+        ),
+    ).otherwise(empty)
+    return F.array_distinct(fps)
+
+
 # ---------------------------------------------------------------------------
 # simhash — all-JVM: explode -> xxhash64 per token -> 64 bit-sum aggregates
 # ---------------------------------------------------------------------------

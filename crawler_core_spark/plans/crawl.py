@@ -341,10 +341,18 @@ class CrawlEngine:
 
         staged = {}
         # the frontier's base snapshot: hive-partitioned by fpart so batch
-        # commits can MERGE individual partitions (run loop)
+        # commits can MERGE individual partitions (run loop).  Cluster by
+        # fpart first: a partitionBy write from T shuffle tasks otherwise
+        # emits up to T files PER partition (P*T tiny files — measured as
+        # a 2x publish-stage regression); clustered, each partition gets
+        # exactly the files of its owning task.
         staged["frontier"] = (
             "replace",
-            self.store.stage(frontier, "frontier", partition_by=["fpart"]),
+            self.store.stage(
+                frontier.repartition(self.frontier_parts, F.col("fpart")),
+                "frontier",
+                partition_by=["fpart"],
+            ),
         )
         robots_blocked = int(robots_obs.get["blocked"])
         hist = {s: int(n) for s, n in hist_obs.get.items() if n}
@@ -653,9 +661,15 @@ class CrawlEngine:
                 .select(*FRONTIER_COLS)
                 .unionByName(hits.filter(is_internal).select(*FRONTIER_COLS))
             )
-            req_obs = Observation()
-            requeue = requeue.observe(
-                req_obs, F.count(F.lit(1)).alias("requeued")
+            # requeue accounting: retry rows are counted by the results
+            # write's Observation (_requeue_retry); INTERNAL_ERROR
+            # redeliveries never reach results, so count them from the
+            # persisted hits cache — only when fault injection is active
+            # (a dedicated Observation on the requeue subtree would be
+            # silently dropped when AQE empty-propagates a zero-row
+            # frontier write).
+            internal_cnt = (
+                hits.filter(is_internal).count() if self.internal_fault else 0
             )
             # partition-incremental frontier commit: only partitions with
             # selected rows change (requeued rows come FROM the selected
@@ -749,15 +763,23 @@ class CrawlEngine:
             )
             deduped_cnt = batch_counts.get("DEDUPED", 0)
             t = self._tick(timings, "stage_results", t)
+            # cluster by fpart before the partitioned write (one file per
+            # touched partition, not one per shuffle task per partition)
+            n_clust = max(1, min(
+                self.frontier_parts,
+                len(touched_parts) if not compacting_frontier else self.frontier_parts,
+            ))
             frontier_rel = self.store.stage(
-                new_frontier, "frontier", partition_by=["fpart"]
+                new_frontier.repartition(n_clust, F.col("fpart")),
+                "frontier",
+                partition_by=["fpart"],
             )
             staged["frontier"] = (
                 ("replace", frontier_rel)
                 if compacting_frontier
                 else ("merge", frontier_rel, "fpart", touched_parts)
             )
-            requeued_cnt = int(req_obs.get["requeued"])
+            requeued_cnt = int(obs_vals.get("_requeue_retry", 0)) + int(internal_cnt)
             t = self._tick(timings, "stage_frontier", t)
             staged["host_state"] = ("replace", self.store.stage(new_host_state, "host_state"))
             t = self._tick(timings, "stage_host_state", t)

@@ -1018,3 +1018,40 @@ SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
 
 QUERIES["doc_minhash_exact_twin"] = q_doc_minhash_exact_twin
 ORACLE_SQL["doc_minhash_exact_twin"] = SQL_DOC_MINHASH_EXACT_TWIN
+
+
+def q_doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k=4 char grams, window 5):
+    the classic dedup/decontamination primitive — any shared substring of
+    length >= 8 between two docs yields a shared fingerprint.  One
+    native whole-stage-codegen projection per doc (functions/text.py:
+    winnow_fingerprints_col); the polynomial gram hash is closed-form so
+    the oracle computes identical values."""
+    from crawler_core_spark.functions.text import winnow_fingerprints_col
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(winnow_fingerprints_col("text")).alias("fp")
+    )
+
+
+SQL_DOC_WINNOW_FINGERPRINT = """
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(text) - 3, 0) + 1),
+           i -> ord(substring(text, CAST(i AS INTEGER), 1)) * 16974593
+              + ord(substring(text, CAST(i + 1 AS INTEGER), 1)) * 66049
+              + ord(substring(text, CAST(i + 2 AS INTEGER), 1)) * 257
+              + ord(substring(text, CAST(i + 3 AS INTEGER), 1))) AS hs
+  FROM documents
+), wdw AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(hs) - 4, 0) + 1),
+           j -> list_min(hs[CAST(j AS INTEGER):CAST(j + 4 AS INTEGER)]))) AS fps
+  FROM g
+)
+SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM wdw
+"""
+
+QUERIES["doc_winnow_fingerprint"] = q_doc_winnow_fingerprint
+ORACLE_SQL["doc_winnow_fingerprint"] = SQL_DOC_WINNOW_FINGERPRINT

@@ -25,8 +25,16 @@ def get_spark(
     # shuffle partitions sized to the parallelism level; at cluster scale this
     # would be ~2-3x total cores (AQE coalesces the excess at runtime).
     if shuffle_partitions is None:
-        n = int(master[master.index("[") + 1 : -1]) if "[" in master else 32
-        shuffle_partitions = max(8, 2 * n) if str(n) != "*" else 64
+        # total cores: local[N] -> N; local-cluster[E,C,M] -> E*C
+        inner = master[master.index("[") + 1 : -1] if "[" in master else "32"
+        if "," in inner:
+            execs, cores = inner.split(",")[:2]
+            n = int(execs) * int(cores)
+        elif inner == "*":
+            n = 0
+        else:
+            n = int(inner)
+        shuffle_partitions = max(8, 2 * n) if n else 64
 
     # one BLAS thread per python worker: N workers x M BLAS spin-threads
     # otherwise oversubscribe the box into a context-switch storm (measured

@@ -44,6 +44,35 @@ class TableStore:
     def _log_path(self) -> str:
         return os.path.join(self.root, _LOG)
 
+    def _commit_lock(self):
+        """Advisory exclusive lock for the commit read-modify-write: two
+        workers (processes) sharing one warehouse must serialize their
+        commit-log appends or one loses its commit (the Iceberg-catalog
+        atomic-swap contract; readers need no lock — os.replace keeps the
+        log file atomic at all times)."""
+        import contextlib
+
+        try:
+            import fcntl
+        except ImportError:  # non-POSIX: single-writer deployments only
+
+            @contextlib.contextmanager
+            def _noop():
+                yield
+
+            return _noop()
+
+        @contextlib.contextmanager
+        def _locked():
+            with open(os.path.join(self.root, "_commits.lock"), "w") as lk:
+                fcntl.flock(lk, fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(lk, fcntl.LOCK_UN)
+
+        return _locked()
+
     def log(self) -> list[dict]:
         try:
             with open(self._log_path()) as f:
@@ -98,8 +127,6 @@ class TableStore:
         hive partitions of the table — a listed partition with no data
         files in the snapshot becomes empty.  All tables become visible
         atomically.  Returns commit id."""
-        entries = self.log()
-        commit_id = len(entries)
         tables = {}
         for t, v in staged.items():
             if v[0] == "merge":
@@ -110,10 +137,15 @@ class TableStore:
                 }
             else:
                 tables[t] = {"mode": v[0], "path": v[1]}
-        entries.append(
-            {"commit_id": commit_id, "meta": meta or {}, "tables": tables}
-        )
-        self._write_log(entries)
+        # the read-modify-write is serialized across workers (processes)
+        # by an advisory lock; staging stayed uncontended outside it
+        with self._commit_lock():
+            entries = self.log()
+            commit_id = len(entries)
+            entries.append(
+                {"commit_id": commit_id, "meta": meta or {}, "tables": tables}
+            )
+            self._write_log(entries)
         return commit_id
 
     def write(self, df: DataFrame, table: str, mode: str = "append", meta: dict | None = None) -> int:

@@ -1,15 +1,25 @@
 """Two-cluster-size scaling evidence (north_rule: efficiency >= 0.8 from
 N to 4N executors). No real cluster in the sandbox, so the same job runs
-at local[8] and local[32] on identical input; we report throughput at
-both, efficiency T(32)/(4*T(8)), and assert crawl-order + URL-seen
-equality between the runs. Appends the measurement to BENCH/BASELINE.md.
+on identical input at several parallelism shapes, one subprocess each
+(two SparkSessions in one JVM contaminate each other's timing — measured
+2.4x slowdown on the second session):
 
-Each parallelism level runs in its own subprocess: two SparkSessions in
-one JVM contaminate each other's timing (measured 2.4x slowdown on the
-second session).
+- local[8] / local[32]      — one shared JVM, 8 vs 32 threads (round 1/2)
+- local-cluster[1,8,M] / local-cluster[4,8,M] — MULTI-JVM executors: the
+  direct sandbox analogue of N vs 4N executors (each executor is its own
+  JVM with its own heap, GC and python workers), and the experiment that
+  isolates the shared-JVM-inflation theory from BENCH/BASELINE.md: if
+  4x8-core executor JVMs beat one 32-thread JVM on the same work, the
+  single-JVM efficiency ceiling is memory-bus/GC contention, not plan
+  serialization.
 
-Usage: python scripts/scaling_bench.py [n_urls]
-       python scripts/scaling_bench.py --run <cores> <n_urls> <out_json>
+Reports throughput per leg, efficiency T(4N)/(4*T(N)) for both the
+shared-JVM and the multi-JVM pair, and asserts crawl-order + URL-seen
+equality across ALL legs (determinism contract).  Appends the
+measurement to BENCH/BASELINE.md.
+
+Usage: python scripts/scaling_bench.py [n_urls] [--quick]
+       python scripts/scaling_bench.py --run <master> <n_urls> <out_json>
 """
 
 from __future__ import annotations
@@ -23,13 +33,38 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# sized for the wide-row decode stage: an 8-core executor holds ~8
+# concurrent 50 KB/row columnar batches + shuffle buffers; 6 GB heaps
+# died with worker-shutdown OOMs at the 480k-URL input.
+EXEC_MEM_MB = 16384
 
-def run_one(cores: int, n_urls: int, out_json: str) -> None:
+LEGS = [
+    ("local8", "local[8]"),
+    ("local32", "local[32]"),
+    ("cluster1x8", f"local-cluster[1,8,{EXEC_MEM_MB}]"),
+    ("cluster4x8", f"local-cluster[4,8,{EXEC_MEM_MB}]"),
+]
+
+
+def run_one(master: str, n_urls: int, out_json: str) -> None:
     from crawler_core_spark.plans.bench_job import run_crawl_job
     from crawler_core_spark.session import get_spark
     from crawler_core_spark.storage import TableStore
 
-    spark = get_spark(app_name=f"scaling-{cores}", master=f"local[{cores}]")
+    # local-cluster executors are SEPARATE JVMs: their python workers must
+    # be able to import crawler_core_spark (module-level pandas UDFs
+    # pickle by reference) — ship the repo root on the executor PYTHONPATH
+    # (the sandbox stand-in for spark-submit --py-files).
+    os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+    conf = {"spark.executorEnv.PYTHONPATH": REPO}
+    if master.startswith("local-cluster"):
+        # the bracket's third field is only the WORKER's advertised
+        # capacity; the executor heap is spark.executor.memory (default
+        # 1g — which OOM'd the 480k decode stage with exit code 52).
+        # Size the heap to the declared capacity.
+        cap_mb = int(master.rstrip("]").split(",")[-1])
+        conf["spark.executor.memory"] = f"{cap_mb}m"
+    spark = get_spark(app_name=f"scaling-{master}", master=master, extra_conf=conf)
     spark.sparkContext.setLogLevel("ERROR")
     r = run_crawl_job(spark, n_urls, keep_store=True)
     store = TableStore(spark, r["store_root"])
@@ -45,55 +80,60 @@ def run_one(cores: int, n_urls: int, out_json: str) -> None:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--run":
-        run_one(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+        run_one(sys.argv[2], int(sys.argv[3]), sys.argv[4])
         return
 
-    n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_urls = int(args[0]) if args else 120_000
+    legs = LEGS[:2] if "--quick" in sys.argv else LEGS
+
     results = {}
-    for cores in (8, 32):
-        out = f"/tmp/scaling_{cores}.json"
+    for label, master in legs:
+        out = f"/tmp/scaling_{label}.json"
         subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--run", str(cores), str(n_urls), out],
+            [sys.executable, os.path.abspath(__file__), "--run", master,
+             str(n_urls), out],
             check=True, cwd=REPO,
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )
         with open(out) as f:
-            results[cores] = json.load(f)
-        shutil.rmtree(results[cores].pop("store_root"), ignore_errors=True)
+            results[label] = json.load(f)
+        shutil.rmtree(results[label].pop("store_root"), ignore_errors=True)
 
-    same_order = results[8].pop("order") == results[32].pop("order")
-    same_seen = results[8].pop("seen") == results[32].pop("seen")
-    t8, t32 = results[8]["urls_per_sec"], results[32]["urls_per_sec"]
-    eff = t32 / (4 * t8) if t8 > 0 else 0.0
+    base = legs[0][0]
+    same_order = all(
+        results[lb]["order"] == results[base]["order"] for lb, _ in legs[1:]
+    )
+    same_seen = all(
+        results[lb]["seen"] == results[base]["seen"] for lb, _ in legs[1:]
+    )
+    for lb, _ in legs:
+        results[lb].pop("order"), results[lb].pop("seen")
+
+    tput = {lb: results[lb]["urls_per_sec"] for lb, _ in legs}
     out = {
         "n_urls": n_urls,
-        "local8": {k: round(v, 2) if isinstance(v, float) else v for k, v in results[8].items()},
-        "local32": {k: round(v, 2) if isinstance(v, float) else v for k, v in results[32].items()},
-        "scaling_efficiency": round(eff, 3),
-        "speedup_8_to_32": round(t32 / t8, 2) if t8 else 0.0,
+        "throughput_urls_per_sec": {k: round(v, 1) for k, v in tput.items()},
         "crawl_order_equal": same_order,
         "url_seen_equal": same_seen,
     }
+    if "local32" in tput:
+        out["eff_shared_jvm_8_to_32"] = round(tput["local32"] / (4 * tput["local8"]), 3)
+    if "cluster4x8" in tput and "cluster1x8" in tput:
+        out["eff_executors_1_to_4"] = round(
+            tput["cluster4x8"] / (4 * tput["cluster1x8"]), 3
+        )
+        out["multi_jvm_vs_shared_jvm_32c"] = round(
+            tput["cluster4x8"] / tput["local32"], 2
+        ) if "local32" in tput else None
     print(json.dumps(out))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    header = not os.path.exists(path)
     with open(path, "a") as f:
-        if header:
-            f.write(
-                "# BENCH — two-cluster-size scaling evidence\n\n"
-                "Same frontier job (publish -> bloom URL-seen -> politeness "
-                "batches -> fetch join) on identical deterministic input at "
-                "two parallelism levels (sandbox stand-in for N vs 4N "
-                "executors), one subprocess each. Efficiency = T(32) / (4 * T(8)).\n\n"
-                "| n_urls | T(8) urls/s | T(32) urls/s | speedup | efficiency "
-                "| order equal | seen equal |\n|---|---|---|---|---|---|---|\n"
-            )
-        f.write(
-            f"| {n_urls} | {t8:.0f} | {t32:.0f} | {t32 / t8 if t8 else 0:.2f}x "
-            f"| {eff:.3f} | {same_order} | {same_seen} |\n"
-        )
+        f.write("\n### scaling legs (round 3 harness)\n\n```json\n")
+        f.write(json.dumps(out, indent=2))
+        f.write("\n```\n")
 
 
 if __name__ == "__main__":

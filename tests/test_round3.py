@@ -333,6 +333,78 @@ def test_bloom_compaction_cadence_survives_process_restart(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# winnowing rolling-hash fingerprints
+# ---------------------------------------------------------------------------
+
+def test_winnow_fingerprint_guarantee_and_plan(spark):
+    """Winnowing guarantee: any shared substring of length >= window+k-1
+    (= 8 at k=4, w=5) between two docs yields a shared fingerprint; and
+    the plan stays native (no Python eval nodes)."""
+    from crawler_core_spark.functions.text import winnow_fingerprints_col
+
+    common = "the quick brown fox jumps"
+    docs = spark.createDataFrame(
+        [
+            (0, f"alpha beta {common} gamma delta"),
+            (1, f"unrelated prefix words {common} and a different tail"),
+            (2, "completely disjoint content with no overlap at all xyz"),
+            (3, "tiny"),  # shorter than k+window-1: empty fingerprint set
+        ],
+        "doc_id: int, text: string",
+    )
+    out = docs.select("doc_id", winnow_fingerprints_col("text").alias("fps"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+    fps = {r["doc_id"]: set(r["fps"]) for r in out.collect()}
+    assert fps[0] & fps[1], "shared 25-char substring must share a fingerprint"
+    assert not (fps[0] & fps[2])
+    assert fps[3] == set()
+
+
+# ---------------------------------------------------------------------------
+# K6: multi-worker commit-log safety (advisory lock)
+# ---------------------------------------------------------------------------
+
+def _hammer_commits(args):
+    """Worker process: append n commits to a shared store root."""
+    root, worker_id, n = args
+    from crawler_core_spark.storage import TableStore
+
+    store = TableStore.__new__(TableStore)
+    store.root = root
+    for i in range(n):
+        store.commit(
+            {"t": ("append", f"t/fake-{worker_id}-{i}")},
+            meta={"worker": worker_id, "i": i},
+        )
+    return worker_id
+
+
+def test_concurrent_commits_from_multiple_processes_never_lost(tmp_path):
+    """Two CLI workers sharing one warehouse must not lose commits to the
+    read-modify-write race on the log (the reference's multi-worker
+    RabbitMQ topology mapped onto one commit log)."""
+    import multiprocessing as mp
+
+    from crawler_core_spark.storage import TableStore
+
+    root = str(tmp_path / "mpwh")
+    os.makedirs(root, exist_ok=True)
+    n_workers, n_commits = 6, 20
+    with mp.get_context("spawn").Pool(n_workers) as pool:
+        pool.map(
+            _hammer_commits, [(root, w, n_commits) for w in range(n_workers)]
+        )
+    store = TableStore.__new__(TableStore)
+    store.root = root
+    log = store.log()
+    assert len(log) == n_workers * n_commits
+    seen = {(e["meta"]["worker"], e["meta"]["i"]) for e in log}
+    assert len(seen) == n_workers * n_commits  # every commit survived
+    assert [e["commit_id"] for e in log] == list(range(len(log)))
+
+
+# ---------------------------------------------------------------------------
 # CLI worker parity flags (judge round-3 item 8)
 # ---------------------------------------------------------------------------
 
