@@ -991,10 +991,16 @@ def q_doc_minhash_exact_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables), no bucket cap, exact-verified output only (id_a, id_b,
     jaccard).  Collapses onto the SQL all-pairs exact Jaccard >= 0.8 —
     the full LSH pipeline (signatures, banding, self-join, verify) runs
-    under the driver's oracle gate."""
+    under the driver's oracle gate.
+
+    Bounded to doc_id < 500 (the whole table at the driver's sf0.01):
+    single-row bands make EVERY pair with any matching minhash a
+    candidate — P(band match) = j itself — so this recall-complete form
+    is quadratic by construction and exists only as the oracle-scale
+    twin; the production path is the banded+capped doc_minhash_lsh."""
     from crawler_core_spark.operators.dedup import minhash_lsh_pairs
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return minhash_lsh_pairs(
         d, id_col="doc_id", text_col="text", n_hashes=16, bands=16,
         verify_threshold=0.8, max_bucket=None,
@@ -1004,7 +1010,7 @@ def q_doc_minhash_exact_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DOC_MINHASH_EXACT_TWIN = """
 WITH t AS (
   SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
-  FROM documents
+  FROM documents WHERE doc_id < 500
 ), p AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          round(CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) > 0
@@ -1023,16 +1029,17 @@ ORACLE_SQL["doc_minhash_exact_twin"] = SQL_DOC_MINHASH_EXACT_TWIN
 def q_doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints (k=4 char grams, window 5):
     the classic dedup/decontamination primitive — any shared substring of
-    length >= 8 between two docs yields a shared fingerprint.  One
-    native whole-stage-codegen projection per doc (functions/text.py:
-    winnow_fingerprints_col); the polynomial gram hash is closed-form so
-    the oracle computes identical values."""
-    from crawler_core_spark.functions.text import winnow_fingerprints_col
+    length >= 8 between two docs yields a shared fingerprint.  Runs the
+    vectorized Arrow path (functions/text.py:winnow_fingerprints_pandas_df,
+    the bulk-corpus form); the all-native expression twin
+    (winnow_fingerprints_df) computes identical values (pytest-pinned)
+    and the closed-form polynomial hash lets the SQL oracle reproduce
+    both exactly."""
+    from crawler_core_spark.functions.text import winnow_fingerprints_pandas_df
 
     d = load(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.explode(winnow_fingerprints_col("text")).alias("fp")
-    )
+    fps = winnow_fingerprints_pandas_df(d, id_col="doc_id", text_col="text")
+    return fps.select("doc_id", F.explode("fps").alias("fp"))
 
 
 SQL_DOC_WINNOW_FINGERPRINT = """

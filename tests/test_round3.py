@@ -361,6 +361,26 @@ def test_winnow_fingerprint_guarantee_and_plan(spark):
     assert fps[3] == set()
 
 
+def test_winnow_pandas_path_matches_native(spark, sf_dir="/root/testdata/sf0.001"):
+    """The vectorized Arrow winnowing (bulk-corpus path) must produce
+    value-identical fingerprint SETS to the all-native expression path."""
+    from crawler_core_spark.functions.text import (
+        winnow_fingerprints_df,
+        winnow_fingerprints_pandas_df,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    native = {
+        r["doc_id"]: set(r["fps"])
+        for r in winnow_fingerprints_df(d, "doc_id").collect()
+    }
+    arrow = {
+        r["doc_id"]: set(r["fps"])
+        for r in winnow_fingerprints_pandas_df(d, "doc_id").collect()
+    }
+    assert native == arrow and len(native) == 60
+
+
 # ---------------------------------------------------------------------------
 # K6: multi-worker commit-log safety (advisory lock)
 # ---------------------------------------------------------------------------
