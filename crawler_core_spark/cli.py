@@ -57,7 +57,7 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("-scanName", default="bulk-scan")
     c.add_argument("-notifyUrl", default=None)
     c.add_argument("-monitor", action="store_true")
-    c.add_argument("-urlSeen", choices=["exact", "bloom"], default="bloom")
+    c.add_argument("-urlSeen", choices=["exact", "bloom", "cuckoo"], default="bloom")
     c.add_argument("-batchPeriod", type=float, default=10.0)
     c.add_argument("-maxBatches", type=int, default=None)
     # cron re-publication (Controller.java:85-92): empty = one immediate
@@ -72,7 +72,7 @@ def build_parser() -> argparse.ArgumentParser:
     w = sub.add_parser("worker", help="resume an existing warehouse frontier")
     w.add_argument("-warehouse", required=True)
     w.add_argument("-images", required=True)
-    w.add_argument("-urlSeen", choices=["exact", "bloom"], default="bloom")
+    w.add_argument("-urlSeen", choices=["exact", "bloom", "cuckoo"], default="bloom")
     w.add_argument("-batchPeriod", type=float, default=10.0)
     w.add_argument("-maxBatches", type=int, default=None)
     # per-scan URL-seen scope: a controller run with -scanRuns > 1 writes
@@ -135,7 +135,11 @@ def main(argv: list[str] | None = None) -> int:
     def make_engine(seen_table_suffix: str | None = None):
         kw = {}
         if seen_table_suffix:
-            base = "url_seen_keys" if args.urlSeen == "exact" else "url_seen_bloom"
+            base = {
+                "exact": "url_seen_keys",
+                "bloom": "url_seen_bloom",
+                "cuckoo": "url_seen_cuckoo",
+            }[args.urlSeen]
             kw["table"] = f"{base}_{seen_table_suffix}"
         return CrawlEngine(
             spark, store, images,

@@ -4,7 +4,9 @@ The reference dedups only implicitly (distinct target lists,
 ``targetlist/TrancoEmailListProvider.java:63``); the north_rule mandates an
 explicit seen-set designed for a 10^10-URL frontier.
 
-Two interchangeable implementations behind one interface:
+Three interchangeable implementations behind one interface (the
+north_star names the "Bloom/cuckoo-filter" pair explicitly; exact is
+the correctness oracle):
 
 - **ExactUrlSeen** — a keys table (url_key BIGINT). Probe = left join,
   add = append of new keys.  This is the *correctness oracle* at test
@@ -217,9 +219,208 @@ class BloomUrlSeen:
         return self.table, ("replace" if compacting else "append", rel)
 
 
+CUCKOO_TABLE = "url_seen_cuckoo"
+CUCKOO_SCHEMA = "partition_id: int, ver: long, table: binary"
+
+_CUCKOO_SLOTS = 4  # slots per bucket (standard (2,4)-cuckoo filter)
+
+
+def _cuckoo_fp(keys: np.ndarray) -> np.ndarray:
+    """8-bit fingerprints in 1..255 (0 marks an empty slot)."""
+    h = _splitmix64(keys.astype(np.uint64) ^ np.uint64(0xA5A5A5A5A5A5A5A5))
+    return ((h % np.uint64(255)) + np.uint64(1)).astype(np.uint8)
+
+
+def _cuckoo_i1(keys: np.ndarray, m: int) -> np.ndarray:
+    return (_splitmix64(keys.astype(np.uint64)) % np.uint64(m)).astype(np.int64)
+
+
+def _cuckoo_alt(i: np.ndarray, fp: np.ndarray, m: int) -> np.ndarray:
+    """Partner bucket: i XOR hash(fp) — involutive, so either bucket
+    derives the other from (bucket, fingerprint) alone (Fan et al.,
+    CoNEXT'14 partial-key cuckoo hashing)."""
+    return (
+        (i.astype(np.uint64) ^ _splitmix64(fp.astype(np.uint64)))
+        % np.uint64(m)
+    ).astype(np.int64)
+
+
+def _cuckoo_insert(table: np.ndarray, keys: np.ndarray, m: int) -> int:
+    """Insert keys (sequential with bounded eviction — per-batch deltas
+    are O(batch / P) rows per partition, so this loop is bounded by the
+    politeness budget, not the corpus). Returns #failed (filter full)."""
+    rng = np.random.default_rng(1234)
+    fps = _cuckoo_fp(keys)
+    i1s = _cuckoo_i1(keys, m)
+    failed = 0
+    for fp, i1 in zip(fps.tolist(), i1s.tolist()):
+        i2 = int(_cuckoo_alt(np.array([i1]), np.array([fp]), m)[0])
+        # deliberately NO already-present suppression: distinct keys that
+        # collide on (bucket, fingerprint) must each hold their own slot
+        # copy, or deleting one would false-negative the other (standard
+        # cuckoo-filter multiplicity semantics; the engine adds each
+        # url_key at most once, so copies = colliding distinct keys).
+        placed = False
+        for b in (i1, i2):
+            empty = np.flatnonzero(table[b] == 0)
+            if len(empty):
+                table[b][empty[0]] = fp
+                placed = True
+                break
+        if placed:
+            continue
+        # bounded eviction walk
+        b, cur = i1, fp
+        for _ in range(500):
+            s = int(rng.integers(0, _CUCKOO_SLOTS))
+            cur, table[b][s] = int(table[b][s]), cur
+            b = int(_cuckoo_alt(np.array([b]), np.array([cur]), m)[0])
+            empty = np.flatnonzero(table[b] == 0)
+            if len(empty):
+                table[b][empty[0]] = cur
+                break
+        else:
+            failed += 1
+    return failed
+
+
+def _cuckoo_test(table: np.ndarray, keys: np.ndarray, m: int) -> np.ndarray:
+    fps = _cuckoo_fp(keys)
+    i1s = _cuckoo_i1(keys, m)
+    i2s = _cuckoo_alt(i1s, fps, m)
+    hit1 = (table[i1s] == fps[:, None]).any(axis=1)
+    hit2 = (table[i2s] == fps[:, None]).any(axis=1)
+    return hit1 | hit2
+
+
+def _cuckoo_delete(table: np.ndarray, keys: np.ndarray, m: int) -> None:
+    """Remove one matching fingerprint per key (the cuckoo filter's
+    distinguishing capability over bloom — recrawl/invalidation)."""
+    fps = _cuckoo_fp(keys)
+    i1s = _cuckoo_i1(keys, m)
+    i2s = _cuckoo_alt(i1s, fps, m)
+    for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
+        for b in (i1, i2):
+            slot = np.flatnonzero(table[b] == fp)
+            if len(slot):
+                table[b][slot[0]] = 0
+                break
+
+
+class CuckooUrlSeen:
+    """Partitioned (2,4)-cuckoo-filter seen-set — the north_star's named
+    alternative to the bloom path.  Same interface, same incremental
+    commit contract (per-touched-partition ver appends, merge-on-read,
+    snapshot-count-driven compaction) plus what bloom cannot do:
+    DELETION (``stage_remove`` — recrawl / invalidation semantics) at
+    comparable space (~12 bits/key at 95% load, FPR ~ 2e-3).
+
+    State: ``(partition_id, ver, table BINARY)`` where ``table`` is an
+    (m_buckets x 4)-slot uint8 fingerprint array (~4 KB per 1k-bucket
+    partition); like the bloom state it is only ever co-grouped with its
+    own partition's keys — never broadcast, never shuffled wholesale.
+    """
+
+    def __init__(
+        self,
+        store: TableStore,
+        partitions: int = 64,
+        buckets_per_partition: int = 1 << 14,
+        compact_every: int = 64,
+        table: str = CUCKOO_TABLE,
+    ):
+        self.store = store
+        self.table = table
+        self.p = partitions
+        self.m = buckets_per_partition
+        self.compact_every = compact_every
+
+    def _pid(self, key_col):
+        return F.pmod(key_col, F.lit(self.p)).cast("int")
+
+    def _state(self) -> DataFrame:
+        if self.store.exists(self.table):
+            return self.store.read(self.table)
+        return self.store.spark.createDataFrame([], CUCKOO_SCHEMA)
+
+    @staticmethod
+    def _latest(st: pd.DataFrame, m: int) -> np.ndarray:
+        if st.empty:
+            return np.zeros((m, _CUCKOO_SLOTS), dtype=np.uint8)
+        row = st.loc[st["ver"].idxmax()]
+        return (
+            np.frombuffer(row["table"], dtype=np.uint8)
+            .reshape(m, _CUCKOO_SLOTS)
+            .copy()
+        )
+
+    def probe(self, df: DataFrame, key: str = "url_key") -> DataFrame:
+        m = self.m
+        in_cols = df.columns
+        keyed = df.withColumn("_pid", self._pid(F.col(key)))
+        schema = df.schema.add("seen", "boolean")
+
+        def _probe(lk, cand, st):
+            if cand.empty:
+                return pd.DataFrame(columns=[f.name for f in schema.fields])
+            table = CuckooUrlSeen._latest(st, m)
+            out = cand.copy()
+            out["seen"] = _cuckoo_test(table, cand[key].to_numpy(), m)
+            return out.drop(columns=["_pid"])
+
+        return (
+            keyed.groupBy("_pid")
+            .cogroup(self._state().groupBy("partition_id"))
+            .applyInPandas(_probe, schema)
+            .select(*in_cols, "seen")
+        )
+
+    def _stage_update(self, df: DataFrame, key: str, op) -> tuple[str, tuple[str, str]]:
+        m = self.m
+        compacting = bool(
+            self.compact_every
+            and self.store.snapshot_count(self.table) + 1 >= self.compact_every
+        )
+        keyed = df.select(F.col(key).alias("url_key")).withColumn(
+            "_pid", self._pid(F.col("url_key"))
+        )
+        state = self._state()
+        if not compacting:
+            touched = keyed.select(F.col("_pid").alias("partition_id")).distinct()
+            state = state.join(touched, "partition_id", "left_semi")
+
+        def _merge(lk, new, st):
+            pid = int(lk[0])
+            table = CuckooUrlSeen._latest(st, m)
+            ver = 0 if st.empty else int(st["ver"].max()) + 1
+            if not new.empty:
+                op(table, new["url_key"].to_numpy(), m)
+            return pd.DataFrame(
+                {"partition_id": [pid], "ver": [ver], "table": [table.tobytes()]}
+            )
+
+        merged = (
+            keyed.groupBy("_pid")
+            .cogroup(state.groupBy("partition_id"))
+            .applyInPandas(_merge, CUCKOO_SCHEMA)
+        )
+        rel = self.store.stage(merged, self.table)
+        return self.table, ("replace" if compacting else "append", rel)
+
+    def stage_add(self, df: DataFrame, key: str = "url_key") -> tuple[str, tuple[str, str]]:
+        return self._stage_update(df, key, _cuckoo_insert)
+
+    def stage_remove(self, df: DataFrame, key: str = "url_key") -> tuple[str, tuple[str, str]]:
+        """Deletion — bloom's missing capability: un-mark keys so they
+        probe unseen again (recrawl / cache-invalidation path)."""
+        return self._stage_update(df, key, _cuckoo_delete)
+
+
 def make_url_seen(store: TableStore, kind: str = "exact", **kw):
     if kind == "exact":
         return ExactUrlSeen(store, **kw)
     if kind == "bloom":
         return BloomUrlSeen(store, **kw)
+    if kind == "cuckoo":
+        return CuckooUrlSeen(store, **kw)
     raise ValueError(kind)

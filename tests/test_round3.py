@@ -333,6 +333,94 @@ def test_bloom_compaction_cadence_survives_process_restart(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# A7: cuckoo-filter URL-seen (the north_star's named bloom alternative)
+# ---------------------------------------------------------------------------
+
+def test_cuckoo_no_false_negatives_and_delete(spark, tmp_path):
+    from crawler_core_spark.operators.url_seen import CuckooUrlSeen
+
+    store = TableStore(spark, str(tmp_path / "cuckoo"))
+    seen = CuckooUrlSeen(store, partitions=8, buckets_per_partition=1 << 10)
+
+    def commit(op, lo, hi):
+        keys = spark.range(lo, hi).select((F.col("id") * 7919).alias("url_key"))
+        table, staged = op(keys)
+        store.commit({table: staged})
+
+    commit(seen.stage_add, 0, 2000)
+    probe = seen.probe(
+        spark.range(0, 3000).select((F.col("id") * 7919).alias("url_key"))
+    )
+    got = {r["url_key"]: r["seen"] for r in probe.collect()}
+    inserted = {i * 7919 for i in range(2000)}
+    # NO false negatives
+    assert all(got[k] for k in inserted)
+    # false positives bounded (8-bit fp, 4 slots: ~2e-3; allow slack)
+    fp = sum(1 for k, v in got.items() if v and k not in inserted)
+    assert fp <= 30, fp
+
+    # DELETE (the capability bloom lacks): removed keys probe unseen,
+    # everything else stays seen
+    commit(seen.stage_remove, 0, 500)
+    probe2 = seen.probe(
+        spark.range(0, 2000).select((F.col("id") * 7919).alias("url_key"))
+    )
+    got2 = {r["url_key"]: r["seen"] for r in probe2.collect()}
+    removed = {i * 7919 for i in range(500)}
+    kept = inserted - removed
+    assert all(got2[k] for k in kept)  # still no false negatives
+    # removed keys unseen (modulo fp-collisions with surviving keys)
+    resurrected = sum(1 for k in removed if got2[k])
+    assert resurrected <= 20, resurrected
+
+
+def test_cuckoo_commit_volume_and_persisted_cadence(spark, tmp_path):
+    from crawler_core_spark.operators.url_seen import CuckooUrlSeen
+
+    store = TableStore(spark, str(tmp_path / "cuckoovol"))
+    P = 32
+    seen = CuckooUrlSeen(store, partitions=P, buckets_per_partition=1 << 8,
+                         compact_every=3)
+    # a small batch touches few partitions: committed rows == touched
+    keys = spark.createDataFrame([(5,), (5 + P,), (7,)], "url_key: long")
+    table, (mode, rel) = seen.stage_add(keys)
+    store.commit({table: (mode, rel)})
+    assert mode == "append"
+    n_rows = spark.read.parquet(os.path.join(store.root, rel)).count()
+    assert n_rows == 2  # partitions {5, 7}, never P
+    # cadence from persisted snapshot chain (fresh instance)
+    seen2 = CuckooUrlSeen(store, partitions=P, buckets_per_partition=1 << 8,
+                          compact_every=2)
+    table, (mode2, rel2) = seen2.stage_add(
+        spark.createDataFrame([(9,)], "url_key: long")
+    )
+    assert mode2 == "replace"
+
+
+def test_cuckoo_engine_matches_exact(spark, tmp_path):
+    """Full-crawl parity: the cuckoo seen-set reproduces the exact path's
+    results on the engine (A7 property gate, mirror of bloom==exact)."""
+    targets, dns, dl, robots, images = small_inputs(spark)
+    results = {}
+    for kind, kw in (
+        ("exact", {}),
+        ("cuckoo", {"partitions": 8, "buckets_per_partition": 1 << 10}),
+    ):
+        store = TableStore(spark, str(tmp_path / f"eng-{kind}"))
+        eng = CrawlEngine(
+            spark, store, images, batch_period=10.0,
+            url_seen_kind=kind, url_seen_kw=kw,
+        )
+        eng.publish(targets, dns, dl, robots, "bs-ck")
+        eng.run()
+        rows = store.read("results").collect()
+        results[kind] = sorted(
+            (r["seq"], r["crawl_pos"], r["status"]) for r in rows
+        )
+    assert results["cuckoo"] == results["exact"]
+
+
+# ---------------------------------------------------------------------------
 # winnowing rolling-hash fingerprints
 # ---------------------------------------------------------------------------
 
