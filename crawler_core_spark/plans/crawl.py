@@ -178,6 +178,7 @@ class CrawlEngine:
         compact_frontier_every: int | None = 64,
         images_bucket_col: str | None = None,
         images_buckets: int | None = None,
+        images_id_pushdown_cap: int | None = 100_000,
     ):
         self.spark = spark
         self.store = store
@@ -210,6 +211,14 @@ class CrawlEngine:
         # (runtime-filter / DPP analogue).
         self.images_bucket_col = images_bucket_col
         self.images_buckets = images_buckets
+        # Second pruning level: when the batch's distinct image_id count
+        # is at most this cap, the literal id set is ALSO pushed as a
+        # parquet data filter (In) — row-group min/max + dictionary
+        # skipping WITHIN each touched bucket (the corpus writer clusters
+        # bucket partitions by image_id for tight row-group stats).  The
+        # cap bounds driver memory and plan size; batches are politeness-
+        # bounded so it is rarely exceeded.  None disables.
+        self.images_id_pushdown_cap = images_id_pushdown_cap
         self.step_timings: list[dict] = []  # per-batch driver-step seconds
 
     def _fpart(self) -> Column:
@@ -236,15 +245,24 @@ class CrawlEngine:
         ):
             return self.images
         n = int(self.images_buckets or IMAGES_BUCKETS_DEFAULT)
-        buckets = [
-            r["b"]
-            for r in batch.select(
-                image_bucket_col(image_id_from_host(F.col("host")), n).alias("b")
-            )
+        # ONE bounded driver fetch serves both pruning levels: the
+        # distinct (bucket, image_id) pairs of the batch.
+        pairs = (
+            batch.select(image_id_from_host(F.col("host")).alias("i"))
             .distinct()
+            .select(image_bucket_col(F.col("i"), n).alias("b"), "i")
             .collect()
-        ]
-        return self.images.filter(F.col(self.images_bucket_col).isin(buckets))
+        )
+        buckets = sorted({r["b"] for r in pairs})
+        pruned = self.images.filter(F.col(self.images_bucket_col).isin(buckets))
+        cap = self.images_id_pushdown_cap
+        if cap is not None and len(pairs) <= cap:
+            # literal In(image_id, ...) reaches the parquet reader as a
+            # data filter: row-group stats + dictionary pages skip the
+            # non-hit remainder of each touched bucket.
+            ids = sorted({r["i"] for r in pairs})
+            pruned = pruned.filter(F.col("image_id").isin(ids))
+        return pruned
 
     def _tick(self, timings: dict, label: str, t0: float) -> float:
         now = time.time()

@@ -185,11 +185,26 @@ def test_fetch_corpus_scan_is_partition_pruned(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and IMAGES_BUCKET_COL in m.group(1), plan
     assert " IN " in m.group(1) or "in(" in m.group(1).lower(), m.group(1)
+    # second level: the literal id set reaches the parquet reader as a
+    # DATA filter (row-group/dictionary skipping within touched buckets)
+    p = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert p and "image_id" in p.group(1) and "In(" in p.group(1), plan
     # parity: pruning must not change the hit set
     full = fetch_hits(batch, images)
     got = sorted(r["job_id"] for r in fetch_hits(batch, pruned).collect())
     want = sorted(r["job_id"] for r in full.collect())
     assert got == want and len(got) == 3
+    # cap=0 disables the id-level filter but keeps bucket pruning
+    eng_cap = CrawlEngine(
+        spark, store, images,
+        images_bucket_col=IMAGES_BUCKET_COL, images_buckets=16,
+        images_id_pushdown_cap=0,
+    )
+    plan_cap = _executed_plan(fetch_hits(batch, eng_cap._pruned_images(batch)))
+    p_cap = re.search(r"PushedFilters: \[([^\]]*)\]", plan_cap)
+    assert not (p_cap and "In(image_id" in p_cap.group(1)), plan_cap
+    m_cap = re.search(r"PartitionFilters: \[([^\]]*)\]", plan_cap)
+    assert m_cap and IMAGES_BUCKET_COL in m_cap.group(1), plan_cap
 
 
 def test_fetch_batch_reuses_cached_hits_for_misses(spark, tmp_path):
