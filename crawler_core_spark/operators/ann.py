@@ -24,7 +24,7 @@ Two paths, one contract (query_id, neighbor_id, sim):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -66,12 +66,14 @@ def brute_force_topk(
     )
 
 
-def _plane_component(i, j: int, seed: int, t: int):
+def _plane_component(i, j: int, seed, t: int):
     """Deterministic pseudo-random hyperplane component in [-1, 1] for
     vector index i, plane j — computed NATIVELY from xxhash64, so no
     hyperplane materialization and no dimension needed at plan-build time
-    (the round-1 version did a driver ``.first()`` to learn the dim)."""
-    h = F.xxhash64(i.cast("long"), F.lit(j), F.lit(seed), F.lit(t))
+    (the round-1 version did a driver ``.first()`` to learn the dim).
+    ``seed`` may be a Column (per-band seeds for near-dup pair mining)."""
+    seed_c = seed if isinstance(seed, Column) else F.lit(seed)
+    h = F.xxhash64(i.cast("long"), F.lit(j), seed_c, F.lit(t))
     return (F.pmod(h, F.lit(2_000_001)).cast("double") - F.lit(1_000_000.0)) / F.lit(
         1_000_000.0
     )
@@ -128,6 +130,71 @@ def lsh_bucket_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim")
     )
+
+
+def lsh_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_bands: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = 2_000,
+) -> DataFrame:
+    """Cosine near-dup PAIR MINING at scale — the 10^10-row path for the
+    ``embed_near_dup`` predicate (the all-pairs form is oracle-scale only).
+
+    Banding scheme (AND-OR amplification, Indyk-Motwani): each row gets
+    ``n_bands`` sign-bucket ids of ``n_planes`` bits each (independent
+    per-band hyperplane seeds); a pair is a candidate iff it shares ANY
+    band's bucket.  P(candidate) = 1 - (1 - p^n_planes)^n_bands with
+    p = 1 - theta/pi — steep around high cosine, so use thresholds
+    >= ~0.8 (at low thresholds sign-LSH has no amplification gap).
+    Candidates are distinct-deduped, joined back to the vectors, and
+    EXACT-verified (cosine >= threshold) — output pairs are never
+    approximate, only recall is.
+
+    Scale shape: only (id, 8-byte bucket) rows shuffle through the
+    band self-join; vectors re-enter via a candidates-only hash join.
+    ``max_bucket`` caps degenerate buckets exactly like the MinHash path
+    (operators/dedup.py) — a mega-bucket of b rows is b^2/2 pairs.
+
+    ``n_planes=0`` collapses every row into one bucket per band: the
+    candidate set is all-pairs and the output EQUALS the exact all-pairs
+    form — the driver-oracle twin (`embed_near_dup_lsh_exhaustive`).
+    """
+    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    banded = base.withColumn(
+        "band", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1)))
+    ).select(
+        "id",
+        "band",
+        bucket_col(
+            F.col("vec"), n_planes, F.xxhash64(F.col("band"), F.lit(seed))
+        ).alias("bucket"),
+    )
+    if max_bucket is not None:
+        wb = Window.partitionBy("band", "bucket")
+        banded = banded.withColumn("_bn", F.count(F.lit(1)).over(wb)).filter(
+            F.col("_bn") <= max_bucket
+        )
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    verified = cand.join(va, "id_a").join(vb, "id_b").select(
+        "id_a",
+        "id_b",
+        F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+    )
+    return verified.filter(F.col("cos_sim") >= threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -941,6 +941,40 @@ QUERIES["embed_near_dup"] = q_embed_near_dup
 ORACLE_SQL["embed_near_dup"] = SQL_EMBED_NEAR_DUP
 
 
+def q_embed_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for the embed_near_dup predicate: banded sign-LSH
+    candidate mining + exact verify (operators/ann.py:lsh_near_dup_pairs).
+    Approximate recall (no SQL oracle — the banding is xxhash64-derived);
+    pair-precision is exact by construction (every output pair is
+    exact-verified), pinned with the recall gate in pytest."""
+    from crawler_core_spark.operators.ann import lsh_near_dup_pairs
+
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    # testdata embeddings are near-random (max pair cosine ~0.51), so the
+    # query-scale dial is coarse buckets + many bands (p^3 per band at
+    # tau=0.4 -> ~0.99 expected recall over 16 bands); production dials
+    # for true near-dup corpora sit at tau>=0.8 with 6-8 planes.
+    return lsh_near_dup_pairs(e, threshold=0.4, n_planes=3, n_bands=16)
+
+
+def q_embed_near_dup_lsh_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-dup pair mining at n_planes=0: one bucket per band, the
+    candidate set is all-pairs, so the SAME machinery (banding, bucket
+    self-join, candidate dedup, vector join-back, exact verify) must
+    EQUAL the exact all-pairs result — the driver-oracle twin."""
+    from crawler_core_spark.operators.ann import lsh_near_dup_pairs
+
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return lsh_near_dup_pairs(
+        e, threshold=0.2, n_planes=0, n_bands=1, max_bucket=None
+    )
+
+
+QUERIES["embed_near_dup_lsh"] = q_embed_near_dup_lsh
+QUERIES["embed_near_dup_lsh_exhaustive"] = q_embed_near_dup_lsh_exhaustive
+ORACLE_SQL["embed_near_dup_lsh_exhaustive"] = SQL_EMBED_NEAR_DUP
+
+
 # ---------------------------------------------------------------------------
 # exhaustive-parameter twins: the approximate operators driven at
 # parameters that collapse them onto an SQL-expressible EXACT result,

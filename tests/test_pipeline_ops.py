@@ -200,3 +200,56 @@ def test_ivf_recall_against_brute_force(vectors):
     sims_a = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in approx.collect()}
     for key in e & a:
         assert sims_e[key] == pytest.approx(sims_a[key], abs=1e-6)
+
+
+def _numpy_cos_pairs(rows, threshold):
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    out = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            s = round(float(sims[i, j]), 6)
+            if s >= threshold:
+                out[(rows[i][0], rows[j][0])] = s
+    return out
+
+
+def test_lsh_near_dup_pairs_recall_and_precision(vectors):
+    """The embed-near-dup SCALE path: banded sign-LSH mining must find
+    most true cos>=0.9 pairs (recall gate) and, because candidates are
+    exact-verified, report ONLY true pairs with exact similarities."""
+    from crawler_core_spark.operators.ann import lsh_near_dup_pairs
+
+    rows, df = vectors
+    want = _numpy_cos_pairs(rows, 0.9)
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in lsh_near_dup_pairs(
+            df, threshold=0.9, n_planes=6, n_bands=10, max_bucket=None
+        ).collect()
+    }
+    # precision is exact by construction: no pair outside the true set
+    assert set(got) <= set(want), set(got) - set(want)
+    recall = len(got) / len(want)
+    assert recall >= 0.8, recall
+    for k, s in got.items():
+        assert s == pytest.approx(want[k], abs=1e-6)
+
+
+def test_lsh_near_dup_pairs_exhaustive_equals_all_pairs(vectors):
+    """n_planes=0 twin (the driver-oracle parameters): one bucket per
+    band => candidate set is all-pairs => output EQUALS exact all-pairs."""
+    from crawler_core_spark.operators.ann import lsh_near_dup_pairs
+
+    rows, df = vectors
+    want = _numpy_cos_pairs(rows, 0.5)
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in lsh_near_dup_pairs(
+            df, threshold=0.5, n_planes=0, n_bands=1, max_bucket=None
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k, s in got.items():
+        assert s == pytest.approx(want[k], abs=1e-6)
