@@ -160,28 +160,35 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     return simhash_df(df, id_col, text_col)
 
 
-def simhash_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def hamming_pairs(
+    fp: DataFrame,
+    id_col: str,
+    fp_col: str,
     max_hamming: int = 3,
     max_bucket: int | None = 256,
 ) -> DataFrame:
-    """Near-dup pairs by simhash Hamming distance via 16-bit chunk banding:
-    two hashes within Hamming<=3 share at least one of 4 exact 16-bit
-    chunks (pigeonhole); candidates join on (chunk_idx, chunk), then the
-    native bit_count verifies. No all-pairs product.
+    """Near-dup pairs by Hamming distance over ANY 64-bit fingerprint
+    column, via 16-bit chunk banding: two fingerprints within Hamming<=3
+    share at least one of 4 exact 16-bit chunks (pigeonhole), so
+    candidates join on (chunk_idx, chunk) and the native bit_count
+    verifies — never an all-pairs product.  For ``max_hamming < 4`` with
+    ``max_bucket=None`` the banding is recall-COMPLETE: the result is
+    EXACT, not approximate (the multi-index Hamming scheme of Manku et
+    al., WWW'07 simhash dedup).
 
-    With max_hamming > 3 the chunk guarantee weakens (recall drops); the
-    exact filter stays correct for whatever candidates banding yields.
+    Scale shape: only (id, fp, 2-byte chunk) rows shuffle; ``max_bucket``
+    caps degenerate buckets (a bucket of b rows is b^2/2 candidate pairs)
+    exactly like the MinHash / sign-LSH paths — a documented recall trade
+    at corpus scale.  With max_hamming > 3 the chunk guarantee weakens
+    (recall drops); the exact filter stays correct for whatever
+    candidates banding yields.
     """
-    fp = simhash_fingerprints(df, id_col, text_col)
     chunks = fp.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(fp_col).alias("_fp"),
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("ci"),
     ).withColumn(
-        "chunk", F.expr("shiftrightunsigned(simhash, ci * 16) & 65535")
+        "chunk", F.expr("shiftrightunsigned(_fp, ci * 16) & 65535")
     )
     if max_bucket is not None:
         wb = Window.partitionBy("ci", "chunk")
@@ -190,14 +197,47 @@ def simhash_pairs(
             .filter(F.col("_bn") <= max_bucket)
             .drop("_bn")
         )
-    a = chunks.select(F.col(id_col).alias("id_a"), "ci", "chunk", F.col("simhash").alias("sh_a"))
-    b = chunks.select(F.col(id_col).alias("id_b"), "ci", "chunk", F.col("simhash").alias("sh_b"))
+    a = chunks.select(F.col(id_col).alias("id_a"), "ci", "chunk", F.col("_fp").alias("fp_a"))
+    b = chunks.select(F.col(id_col).alias("id_b"), "ci", "chunk", F.col("_fp").alias("fp_b"))
     return (
         a.join(b, ["ci", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.first("sh_a").alias("sh_a"), F.first("sh_b").alias("sh_b"))
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .agg(F.first("fp_a").alias("fp_a"), F.first("fp_b").alias("fp_b"))
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int | None = 256,
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance (see hamming_pairs for
+    the banding scheme and its exactness guarantee)."""
+    fp = simhash_fingerprints(df, id_col, text_col)
+    return hamming_pairs(fp, id_col, "simhash", max_hamming, max_bucket)
+
+
+def phash_near_dup(
+    images: DataFrame,
+    max_hamming: int = 2,
+    max_bucket: int | None = 256,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+) -> DataFrame:
+    """Perceptual near-duplicate IMAGE pairs over the crawl corpus
+    (input table shape: image_id, bytes, w, h, fmt, caption,
+    phash:int64).  The 64-bit mean-threshold phash is computed once at
+    ingest by the decode gate (functions/image.py:decode_validate_udf),
+    so this never touches ``bytes`` — only (image_id, phash) rows ever
+    shuffle, which is what makes visual dedup tractable over a 100 TB
+    byte corpus.  Banded-Hamming exact for max_hamming < 4 (see
+    hamming_pairs); rows whose decode failed carry a null phash and are
+    excluded up front."""
+    fp = images.select(id_col, phash_col).filter(F.col(phash_col).isNotNull())
+    return hamming_pairs(fp, id_col, phash_col, max_hamming, max_bucket)

@@ -975,6 +975,56 @@ QUERIES["embed_near_dup_lsh_exhaustive"] = q_embed_near_dup_lsh_exhaustive
 ORACLE_SQL["embed_near_dup_lsh_exhaustive"] = SQL_EMBED_NEAR_DUP
 
 
+# DuckDB can compute bit_count(xor(...)) natively, so the banded-Hamming
+# miner — the operator the image corpus runs on its phash column
+# (operators/dedup.py:phash_near_dup) — gets a FULLY EXACT oracle: the
+# fingerprint below is derived from `documents` by plain shifts/xors both
+# engines evaluate identically (group base bits 16.., one low perturbation
+# bit 0-11, one conditional bit 32 — pairs land at Hamming 0-3 so the
+# max_hamming=2 verify filter is exercised), and pigeonhole banding
+# (4 chunks > max_hamming) makes the Spark side recall-complete.
+SQL_PHASH_NEAR_DUP = """
+WITH fp AS (
+  SELECT doc_id,
+         xor(xor(CAST(doc_id // 8 AS BIGINT) << 16,
+                 CAST(1 AS BIGINT) << CAST(doc_id % 12 AS INT)),
+             CASE WHEN doc_id % 3 = 0 THEN CAST(1 AS BIGINT) << 32
+                  ELSE CAST(0 AS BIGINT) END) AS fp
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 2
+"""
+
+
+def q_phash_hamming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-Hamming near-dup pair mining (operators/dedup.py:
+    hamming_pairs) — the SAME machinery the image corpus applies to its
+    perceptual-hash column (phash_near_dup), driven here over an
+    SQL-derivable synthetic 64-bit fingerprint of `documents` so DuckDB
+    verifies it EXACTLY: hamming<=2 pairs share one of four 16-bit
+    chunks (pigeonhole), so banding with no bucket cap is
+    recall-complete, and bit_count(xor) is exact on both engines."""
+    from crawler_core_spark.operators.dedup import hamming_pairs
+
+    d = load(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        F.expr(
+            "shiftleft(CAST(doc_id div 8 AS BIGINT), 16)"
+            " ^ shiftleft(1L, CAST(doc_id % 12 AS INT))"
+            " ^ IF(doc_id % 3 = 0, shiftleft(1L, 32), 0L)"
+        ).alias("fp"),
+    )
+    return hamming_pairs(fp, "doc_id", "fp", max_hamming=2, max_bucket=None)
+
+
+QUERIES["phash_hamming_near_dup"] = q_phash_hamming_near_dup
+ORACLE_SQL["phash_hamming_near_dup"] = SQL_PHASH_NEAR_DUP
+
+
 # ---------------------------------------------------------------------------
 # exhaustive-parameter twins: the approximate operators driven at
 # parameters that collapse them onto an SQL-expressible EXACT result,

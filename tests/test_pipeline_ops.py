@@ -253,3 +253,47 @@ def test_lsh_near_dup_pairs_exhaustive_equals_all_pairs(vectors):
     assert set(got) == set(want)
     for k, s in got.items():
         assert s == pytest.approx(want[k], abs=1e-6)
+
+
+def test_phash_near_dup_brute_force_parity_and_dup_detection(spark):
+    """Image-payload visual dedup: banded-Hamming over the corpus phash
+    column must EQUAL the brute-force popcount answer (pigeonhole banding
+    is recall-complete at max_hamming=3), find a re-encoded pixel-exact
+    duplicate at Hamming 0, and skip null-phash (decode-failed) rows."""
+    from crawler_core_spark import synth
+    from crawler_core_spark.functions.image import decode_image, phash_py
+    from crawler_core_spark.operators.dedup import phash_near_dup
+
+    pdf = synth.images_pandas(24, corrupt_every=0)
+    rows = list(zip(pdf["image_id"], (int(p) for p in pdf["phash"])))
+    # pixel-exact duplicate of img 0 (decode->rehash: png is lossless) and
+    # a lightly perturbed copy (small brightness bump on a pixel lattice)
+    arr = decode_image(bytes(pdf["bytes"][0]))
+    pert = arr.copy()
+    pert[::7, ::5] = np.clip(
+        pert[::7, ::5].astype(np.int32) + 3, 0, 255
+    ).astype(np.uint8)
+    rows.append(("img-dup", phash_py(arr)))
+    rows.append(("img-pert", phash_py(pert)))
+    rows.append(("img-null", None))  # decode-failed row: must be excluded
+    df = spark.createDataFrame(rows, "image_id: string, phash: long")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dup(df, max_hamming=3, max_bucket=None).collect()
+    }
+
+    def pop(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    want = {}
+    valid = [(i, p) for i, p in rows if p is not None]
+    for x in range(len(valid)):
+        for y in range(x + 1, len(valid)):
+            (ia, ha), (ib, hb) = valid[x], valid[y]
+            key = (ia, ib) if ia < ib else (ib, ia)
+            h = pop(ha, hb)
+            if h <= 3:
+                want[key] = h
+    assert got == want
+    assert got[("img-00000", "img-dup")] == 0
