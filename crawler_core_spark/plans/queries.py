@@ -1025,6 +1025,69 @@ QUERIES["phash_hamming_near_dup"] = q_phash_hamming_near_dup
 ORACLE_SQL["phash_hamming_near_dup"] = SQL_PHASH_NEAR_DUP
 
 
+# Dedup GROUP ASSIGNMENT: pairs -> connected components (keep one doc per
+# duplicate cluster).  DuckDB oracles the iterative Spark algorithm via a
+# recursive CTE: the component min M is < every other member, so
+# propagating only labels r < receiving-node id loses nothing, and
+# min(r) per node is exactly the component min.  Edge set = the same
+# SQL-derivable Hamming fingerprint as SQL_PHASH_NEAR_DUP at hamming<=1
+# (32 components of sizes 1..34 at sf0.01 — nontrivial merge structure).
+SQL_DOC_DUP_COMPONENTS = """
+WITH RECURSIVE fp AS (
+  SELECT doc_id,
+         xor(xor(CAST(doc_id // 8 AS BIGINT) << 16,
+                 CAST(1 AS BIGINT) << CAST(doc_id % 12 AS INT)),
+             CASE WHEN doc_id % 3 = 0 THEN CAST(1 AS BIGINT) << 32
+                  ELSE CAST(0 AS BIGINT) END) AS fp
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.fp, b.fp)) <= 1
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+  WHERE reach.r < e.s
+)
+SELECT id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY id
+"""
+
+
+def q_doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: banded-Hamming pair mining feeds
+    alternating large-star/small-star connected components
+    (operators/components.py — O(log^2 n) rounds, diameter-free, the
+    post-pair-mining step every retention policy needs).  An ITERATIVE
+    Spark algorithm under the exact driver gate: DuckDB recomputes the
+    same components with a recursive CTE."""
+    from crawler_core_spark.operators.components import assign_components
+    from crawler_core_spark.operators.dedup import hamming_pairs
+
+    d = load(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        F.expr(
+            "shiftleft(CAST(doc_id div 8 AS BIGINT), 16)"
+            " ^ shiftleft(1L, CAST(doc_id % 12 AS INT))"
+            " ^ IF(doc_id % 3 = 0, shiftleft(1L, 32), 0L)"
+        ).alias("fp"),
+    )
+    pairs = hamming_pairs(fp, "doc_id", "fp", max_hamming=1, max_bucket=None)
+    return assign_components(d, pairs, "doc_id")
+
+
+QUERIES["doc_dup_components"] = q_doc_dup_components
+ORACLE_SQL["doc_dup_components"] = SQL_DOC_DUP_COMPONENTS
+
+
 # ---------------------------------------------------------------------------
 # exhaustive-parameter twins: the approximate operators driven at
 # parameters that collapse them onto an SQL-expressible EXACT result,
