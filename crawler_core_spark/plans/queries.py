@@ -1088,6 +1088,100 @@ QUERIES["doc_dup_components"] = q_doc_dup_components
 ORACLE_SQL["doc_dup_components"] = SQL_DOC_DUP_COMPONENTS
 
 
+# The full curation pass a training-data user actually runs: quality
+# gate -> near-dup clustering -> one survivor per cluster.  Composes
+# quality_score_col + hamming_pairs + connected components end-to-end
+# under ONE exact oracle (quality filter on the 6-dp ROUNDED score so
+# both engines agree at the boundary; survivor == component label since
+# the label is the component min).
+SQL_DOC_CURATION = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS sr
+  FROM t
+), q AS (
+  SELECT doc_id,
+         round((1.0 - sr) * least(1.0, n_tokens / 100.0), 6) AS quality
+  FROM m
+  WHERE round((1.0 - sr) * least(1.0, n_tokens / 100.0), 6) >= 0.35
+), fp AS (
+  SELECT doc_id,
+         xor(xor(CAST(doc_id // 8 AS BIGINT) << 16,
+                 CAST(1 AS BIGINT) << CAST(doc_id % 12 AS INT)),
+             CASE WHEN doc_id % 3 = 0 THEN CAST(1 AS BIGINT) << 32
+                  ELSE CAST(0 AS BIGINT) END) AS fp
+  FROM q
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.fp, b.fp)) <= 1
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM q
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+  WHERE reach.r < e.s
+), comp AS (
+  SELECT id, min(r) AS component FROM reach GROUP BY id
+)
+SELECT CAST(component AS BIGINT) AS survivor_doc_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       round(min(quality), 6) AS min_quality
+FROM comp JOIN q ON q.doc_id = comp.id
+GROUP BY component
+"""
+
+
+def q_doc_curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pass: quality gate (functions/text.py) ->
+    banded-Hamming near-dup edges (operators/dedup.py) -> connected-
+    component clusters (operators/components.py) -> one survivor per
+    cluster (the component min).  The whole chain — scoring, pair
+    mining, iterative clustering, retention — under one exact oracle."""
+    from crawler_core_spark.operators.components import assign_components
+    from crawler_core_spark.operators.dedup import hamming_pairs
+
+    d = load(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id", F.round(quality_score_col("text"), 6).alias("quality")
+    ).filter(F.col("quality") >= 0.35)
+    fp = q.select(
+        "doc_id",
+        F.expr(
+            "shiftleft(CAST(doc_id div 8 AS BIGINT), 16)"
+            " ^ shiftleft(1L, CAST(doc_id % 12 AS INT))"
+            " ^ IF(doc_id % 3 = 0, shiftleft(1L, 32), 0L)"
+        ).alias("fp"),
+    )
+    pairs = hamming_pairs(fp, "doc_id", "fp", max_hamming=1, max_bucket=None)
+    comp = assign_components(q, pairs, "doc_id")
+    return (
+        comp.join(q.withColumnRenamed("doc_id", "id"), "id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.round(F.min("quality"), 6).alias("min_quality"),
+        )
+        .select(
+            F.col("component").alias("survivor_doc_id"),
+            "n_members",
+            "min_quality",
+        )
+    )
+
+
+QUERIES["doc_curation_survivors"] = q_doc_curation_survivors
+ORACLE_SQL["doc_curation_survivors"] = SQL_DOC_CURATION
+
+
 # ---------------------------------------------------------------------------
 # exhaustive-parameter twins: the approximate operators driven at
 # parameters that collapse them onto an SQL-expressible EXACT result,
