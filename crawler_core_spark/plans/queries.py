@@ -990,7 +990,7 @@ WITH fp AS (
                  CAST(1 AS BIGINT) << CAST(doc_id % 12 AS INT)),
              CASE WHEN doc_id % 3 = 0 THEN CAST(1 AS BIGINT) << 32
                   ELSE CAST(0 AS BIGINT) END) AS fp
-  FROM documents
+  FROM documents WHERE doc_id < 1000
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
@@ -1009,7 +1009,7 @@ def q_phash_hamming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall-complete, and bit_count(xor) is exact on both engines."""
     from crawler_core_spark.operators.dedup import hamming_pairs
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     fp = d.select(
         "doc_id",
         F.expr(
@@ -1039,7 +1039,7 @@ WITH RECURSIVE fp AS (
                  CAST(1 AS BIGINT) << CAST(doc_id % 12 AS INT)),
              CASE WHEN doc_id % 3 = 0 THEN CAST(1 AS BIGINT) << 32
                   ELSE CAST(0 AS BIGINT) END) AS fp
-  FROM documents
+  FROM documents WHERE doc_id < 1000
 ),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1051,7 +1051,7 @@ edges AS (
   UNION ALL SELECT id_b, id_a FROM pairs
 ),
 reach(id, r) AS (
-  SELECT doc_id, doc_id FROM documents
+  SELECT doc_id, doc_id FROM documents WHERE doc_id < 1000
   UNION
   SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
   WHERE reach.r < e.s
@@ -1071,7 +1071,7 @@ def q_doc_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_core_spark.operators.components import assign_components
     from crawler_core_spark.operators.dedup import hamming_pairs
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     fp = d.select(
         "doc_id",
         F.expr(
@@ -1097,7 +1097,7 @@ ORACLE_SQL["doc_dup_components"] = SQL_DOC_DUP_COMPONENTS
 SQL_DOC_CURATION = """
 WITH RECURSIVE t AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-  FROM documents
+  FROM documents WHERE doc_id < 1000
 ), m AS (
   SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -1149,7 +1149,7 @@ def q_doc_curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_core_spark.operators.components import assign_components
     from crawler_core_spark.operators.dedup import hamming_pairs
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     q = d.select(
         "doc_id", F.round(quality_score_col("text"), 6).alias("quality")
     ).filter(F.col("quality") >= 0.35)
