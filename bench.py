@@ -14,10 +14,17 @@ run-to-run wall-time variance is ±2x on identical plans, so single-run
 per-query numbers across rounds are weather; best-of-N recovers the
 plan-shape signal.
 
+The headline crawl leg is ALSO best-of-N (BENCH_CRAWL_REPEATS, default
+2): the decode stage alone swings 30-76 s between identical runs on
+this VM, and the per-round BENCH record is a single driver invocation —
+two legs with min-wall selection recovers the plan-shape signal the
+same way the query loop does.  All leg values are reported.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      BENCH_FRONTIER_URLS (default 120000),
-     BENCH_QUERY_REPEATS (default 3).
+     BENCH_QUERY_REPEATS (default 3),
+     BENCH_CRAWL_REPEATS (default 2).
 """
 
 from __future__ import annotations
@@ -43,7 +50,9 @@ def main() -> None:
     spark = get_spark(app_name="crawler-core-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    crawl = run_crawl_job(spark, n_urls)
+    crawl_repeats = max(1, int(os.environ.get("BENCH_CRAWL_REPEATS", "2")))
+    legs = [run_crawl_job(spark, n_urls) for _ in range(crawl_repeats)]
+    crawl = min(legs, key=lambda c: c["wall_s"])
 
     repeats = max(1, int(os.environ.get("BENCH_QUERY_REPEATS", "3")))
     q_times: dict[str, float] = {}
@@ -67,6 +76,7 @@ def main() -> None:
                 "queries": q_times,
                 "sf": sf,
                 "crawl_wall_s": round(crawl["wall_s"], 2),
+                "crawl_wall_s_legs": [round(c["wall_s"], 2) for c in legs],
                 "crawl_urls": crawl["urls_processed"],
                 "crawl_batches": crawl["batches"],
                 "total_sec": total,

@@ -332,6 +332,14 @@ class CuckooUrlSeen:
         self.store = store
         self.table = table
         self.p = partitions
+        # power-of-2 REQUIRED: the partner-bucket map (i ^ h(fp)) % m is
+        # involutive only when % m is a bit mask — with any other m an
+        # eviction can re-home a fingerprint into a bucket lookups never
+        # probe (silent false negatives).
+        if buckets_per_partition & (buckets_per_partition - 1):
+            raise ValueError(
+                f"buckets_per_partition must be a power of 2, got {buckets_per_partition}"
+            )
         self.m = buckets_per_partition
         self.compact_every = compact_every
 
