@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import functions as F  # noqa: F401  (re-exported convenience)
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
+    BinaryType,
     BooleanType,
     DoubleType,
     IntegerType,
@@ -163,3 +164,146 @@ def phash_udf(bufs: pd.Series) -> pd.Series:
         except Exception:
             vals.append(None)
     return pd.Series(vals, dtype="Int64")
+
+
+# ---------------------------------------------------------------------------
+# Resize (area / block-mean resample) — real, not stubbed
+# ---------------------------------------------------------------------------
+
+def resize_image(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic area (block-mean) resample via the same integral-
+    image trick as phash_py, generalized to any output size: each output
+    pixel is the exact mean of its source block (anti-aliased
+    downsampling; nearest-duplication when upscaling a dimension).
+    Pure numpy, exact and platform-independent — safe to use inside the
+    per-row fetch invariant."""
+    assert arr.dtype == np.uint8 and arr.ndim == 3
+    h, w, ch = arr.shape
+    ys = (np.arange(out_h + 1) * h // out_h).astype(int)
+    xs = (np.arange(out_w + 1) * w // out_w).astype(int)
+    # upscale (block width 0): fall back to index duplication per-axis
+    ys_lo, ys_hi = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    xs_lo, xs_hi = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
+    ys_hi = np.minimum(ys_hi, h)
+    xs_hi = np.minimum(xs_hi, w)
+    ii = np.zeros((h + 1, w + 1, ch))
+    np.cumsum(np.cumsum(arr.astype(np.float64), axis=0), axis=1, out=ii[1:, 1:])
+    sums = (
+        ii[ys_hi[:, None], xs_hi[None, :]]
+        - ii[ys_lo[:, None], xs_hi[None, :]]
+        - ii[ys_hi[:, None], xs_lo[None, :]]
+        + ii[ys_lo[:, None], xs_lo[None, :]]
+    )
+    counts = ((ys_hi - ys_lo)[:, None] * (xs_hi - xs_lo)[None, :])[..., None]
+    return np.clip(np.rint(sums / counts), 0, 255).astype(np.uint8)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+    ]
+)
+
+
+def resize_images(df, out_w: int, out_h: int, fmt: str = "png"):
+    """Multimodal resize operator: (image_id, bytes, ...) -> re-encoded
+    thumbnails at (out_w, out_h), as an Arrow-batched mapInPandas pass —
+    bytes are decoded/resized/re-encoded WHERE THEY ALREADY LIVE (no
+    shuffle; the plan is scan -> ArrowEval -> project).  Rows whose
+    decode fails are dropped (the decode gate upstream already routed
+    them to ERROR)."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": []}
+            for iid, buf in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    arr = resize_image(decode_image(bytes(buf)), out_w, out_h)
+                except Exception:
+                    continue
+                out["image_id"].append(iid)
+                out["bytes"].append(encode_image(arr, fmt))
+                out["w"].append(out_w)
+                out["h"].append(out_h)
+                out["fmt"].append(fmt)
+            yield pd.DataFrame(out)
+
+    return df.select("image_id", "bytes").mapInPandas(gen, RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video frame sampling — REAL Spark plumbing over a deterministic fake
+# container (no video codec ships in this sandbox; a real decoder swaps
+# in at decode_video_frames only, exactly like decode_image)
+# ---------------------------------------------------------------------------
+
+VIDEO_MAGIC = b"CCSV"
+
+
+def encode_video(frames: list[np.ndarray], fmt: str = "png") -> bytes:
+    """Deterministic fake video container: frame count + length-prefixed
+    CCSP image frames.  Stands in for a real demuxer+codec."""
+    parts = [VIDEO_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        b = encode_image(f, fmt)
+        parts.append(struct.pack("<I", len(b)))
+        parts.append(b)
+    return b"".join(parts)
+
+
+def decode_video_frames(buf: bytes) -> list[bytes]:
+    """Container bytes -> per-frame encoded-image bytes (the swap-in
+    point for a real demuxer)."""
+    if buf is None or len(buf) < 8 or buf[:4] != VIDEO_MAGIC:
+        raise ValueError("corrupt video container")
+    (n,) = struct.unpack("<I", buf[4:8])
+    off, frames = 8, []
+    for _ in range(n):
+        (ln,) = struct.unpack("<I", buf[off : off + 4])
+        off += 4
+        frames.append(buf[off : off + ln])
+        off += ln
+    if off != len(buf):
+        raise ValueError("corrupt video container (trailing bytes)")
+    return frames
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("video_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("bytes", BinaryType()),
+    ]
+)
+
+
+def sample_frames(df, stride: int, id_col: str = "video_id", bytes_col: str = "bytes"):
+    """Frame sampling: one row per kept frame (indices 0, stride,
+    2*stride, ...), Arrow-batched mapInPandas — the row explosion happens
+    executor-side where the bytes live; only sampled frames survive into
+    the downstream plan.  Corrupt containers are dropped (mirror of the
+    image decode gate)."""
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"video_id": [], "frame_idx": [], "bytes": []}
+            for vid, buf in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    frames = decode_video_frames(bytes(buf))
+                except Exception:
+                    continue
+                for i in range(0, len(frames), stride):
+                    out["video_id"].append(vid)
+                    out["frame_idx"].append(i)
+                    out["bytes"].append(frames[i])
+            yield pd.DataFrame(out)
+
+    return df.select(
+        F.col(id_col).alias(id_col), F.col(bytes_col).alias(bytes_col)
+    ).mapInPandas(gen, FRAMES_SCHEMA)

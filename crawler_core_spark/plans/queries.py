@@ -682,9 +682,12 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints + near-dup pairs by Hamming distance (no SQL
-    oracle: 64-bit FNV bit math; pytest pins it against a pure-Python
-    reference)."""
+    """SimHash fingerprints + near-dup pairs by Hamming distance.  No SQL
+    oracle for THIS query: the fingerprint derivation is xxhash64 bit
+    math DuckDB cannot reproduce; pytest pins it against a pure-Python
+    reference.  The downstream banding + bit_count-verify machinery
+    (hamming_pairs) IS under the exact gate via `phash_hamming_near_dup`,
+    which drives the same code over an SQL-derivable fingerprint."""
     from crawler_core_spark.operators.dedup import simhash_pairs
 
     d = load(spark, sf_dir, "documents")
