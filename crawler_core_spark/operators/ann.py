@@ -20,6 +20,11 @@ Two paths, one contract (query_id, neighbor_id, sim):
   literals; cell assignment is a native argmax of C dot products; queries
   probe their ``n_probe`` nearest cells and candidates come from a hash
   join on cell id. Recall/cost dial = (n_centroids, n_probe).
+  Model lifecycle: ``train_centroids`` -> ``save_centroids`` (snapshot
+  store, append-log with ``saved_ver`` latest-wins) -> ``load_centroids``
+  -> ``ivf_topk_with_centroids`` — train once offline, probe many, the
+  production shape at 10^10 rows (``ivf_topk`` fuses both for the query
+  suite).
 """
 
 from __future__ import annotations
@@ -261,22 +266,56 @@ def _cell_dists(vec, centroids: list[list[float]]):
     return F.array(*scores)
 
 
-def ivf_topk(
+CENTROIDS_TABLE = "ann_centroids"
+CENTROIDS_SCHEMA = (
+    "model_id: string, saved_ver: long, cell: int, centroid: array<double>"
+)
+
+
+def save_centroids(
+    store, centroids, model_id: str = "ivf-default", table: str = CENTROIDS_TABLE
+) -> int:
+    """Persist a trained IVF model into the snapshot store (the offline
+    half of the train-once / probe-many lifecycle: at 10^10 rows training
+    runs in its own job and every probe job reloads the same cells).
+    Append-log like bulk_scans: re-saves of a model_id are disambiguated
+    by ``saved_ver`` at load, never by row order."""
+    ver = store.snapshot_count(table) if store.exists(table) else 0
+    rows = [
+        (model_id, ver, i, [float(v) for v in c]) for i, c in enumerate(centroids)
+    ]
+    return store.write(
+        store.spark.createDataFrame(rows, CENTROIDS_SCHEMA), table, mode="append"
+    )
+
+
+def load_centroids(
+    store, model_id: str = "ivf-default", table: str = CENTROIDS_TABLE
+) -> list[list[float]]:
+    """Latest saved centroid set for a model (bounded driver fetch:
+    n_centroids rows — a model load, not a data collect)."""
+    t = store.read(table).filter(F.col("model_id") == model_id)
+    latest = t.agg(F.max("saved_ver")).collect()[0][0]
+    if latest is None:
+        raise KeyError(f"no centroids saved for model {model_id!r}")
+    rows = (
+        t.filter(F.col("saved_ver") == latest).orderBy("cell").collect()
+    )
+    return [list(r["centroid"]) for r in rows]
+
+
+def ivf_topk_with_centroids(
     embeddings: DataFrame,
     queries: DataFrame,
+    centroids: list[list[float]],
     k: int = 10,
-    n_centroids: int = 16,
     n_probe: int = 2,
-    sample: int = 2048,
-    seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k via an inverted-file index: corpus rows hash-join
-    queries on cell id; only probed cells pay the exact cosine."""
-    centroids = train_centroids(
-        embeddings, n_centroids, sample, seed=seed, id_col=id_col, vec_col=vec_col
-    )
+    """Probe half of the IVF lifecycle: top-k against a PRETRAINED cell
+    model (train_centroids / load_centroids); corpus rows hash-join
+    queries on cell id, only probed cells pay the exact cosine."""
     scores = _cell_dists(F.col(vec_col), centroids)
     e = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
@@ -311,4 +350,27 @@ def ivf_topk(
         sims.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    sample: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train + probe in one call (query-suite convenience; production
+    trains once via train_centroids/save_centroids and probes with
+    ivf_topk_with_centroids on load_centroids)."""
+    centroids = train_centroids(
+        embeddings, n_centroids, sample, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    return ivf_topk_with_centroids(
+        embeddings, queries, centroids, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
     )

@@ -297,3 +297,43 @@ def test_phash_near_dup_brute_force_parity_and_dup_detection(spark):
                 want[key] = h
     assert got == want
     assert got[("img-00000", "img-dup")] == 0
+
+
+def test_ivf_model_persistence_roundtrip(spark, vectors, tmp_path):
+    """Train-once/probe-many: saved centroids reload exactly, a reprobe
+    with the loaded model equals the fused train+probe result, and a
+    re-save of the same model_id supersedes via saved_ver."""
+    from crawler_core_spark.operators.ann import (
+        ivf_topk,
+        ivf_topk_with_centroids,
+        load_centroids,
+        save_centroids,
+        train_centroids,
+    )
+    from crawler_core_spark.storage import TableStore
+
+    rows, df = vectors
+    store = TableStore(spark, str(tmp_path))
+    cents = train_centroids(df, n_centroids=4, sample=64)
+    save_centroids(store, cents, model_id="m1")
+    assert load_centroids(store, "m1") == cents
+
+    queries = df.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    fused = ivf_topk(df, queries, k=5, n_centroids=4, n_probe=4, sample=64)
+    probed = ivf_topk_with_centroids(
+        df, queries, load_centroids(store, "m1"), k=5, n_probe=4
+    )
+    assert sorted(map(tuple, fused.collect())) == sorted(
+        map(tuple, probed.collect())
+    )
+
+    # re-save supersedes (saved_ver latest-wins), other models unaffected
+    cents2 = train_centroids(df, n_centroids=4, sample=32)
+    save_centroids(store, cents2, model_id="m1")
+    save_centroids(store, cents, model_id="m2")
+    assert load_centroids(store, "m1") == cents2
+    assert load_centroids(store, "m2") == cents
+    with pytest.raises(KeyError):
+        load_centroids(store, "nope")
