@@ -178,6 +178,8 @@ def resize_image(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     Pure numpy, exact and platform-independent — safe to use inside the
     per-row fetch invariant."""
     assert arr.dtype == np.uint8 and arr.ndim == 3
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"resize target must be >= 1x1, got {out_w}x{out_h}")
     h, w, ch = arr.shape
     ys = (np.arange(out_h + 1) * h // out_h).astype(int)
     xs = (np.arange(out_w + 1) * w // out_w).astype(int)
