@@ -209,6 +209,24 @@ def main(argv: list[str] | None = None) -> int:
                 "by Spark executor cores in this engine"
             )
         if args.scanName:
+            base = {
+                "exact": "url_seen_keys",
+                "bloom": "url_seen_bloom",
+                "cuckoo": "url_seen_cuckoo",
+            }[args.urlSeen]
+            seen_table = f"{base}_{args.scanName}"
+            if not store.exists(seen_table):
+                # a typo'd/unsuffixed name would silently probe an EMPTY
+                # seen-set and re-fetch every already-seen URL of the scan
+                existing = sorted(
+                    t[len(base) + 1:] for t in store.tables()
+                    if t.startswith(base + "_")
+                )
+                raise SystemExit(
+                    f"worker: seen table {seen_table!r} does not exist in this "
+                    f"warehouse; known -scanName suffixes for -urlSeen="
+                    f"{args.urlSeen}: {existing or '(none)'}"
+                )
             eng = make_engine(seen_table_suffix=args.scanName)
         stats = eng.run(max_batches=args.maxBatches, verbose=True)
         print(f"worker drained frontier in {len(stats)} batches")

@@ -280,7 +280,19 @@ def save_centroids(
     runs in its own job and every probe job reloads the same cells).
     Append-log like bulk_scans: re-saves of a model_id are disambiguated
     by ``saved_ver`` at load, never by row order."""
-    ver = store.snapshot_count(table) if store.exists(table) else 0
+    # next ver = max existing saved_ver + 1 (NOT snapshot_count: the
+    # snapshot chain collapses to 1 on `cli compact`, which would hand a
+    # later save a LOWER ver and make load_centroids return stale cells)
+    if store.exists(table):
+        prev = (
+            store.read(table)
+            .filter(F.col("model_id") == model_id)
+            .agg(F.max("saved_ver"))
+            .collect()[0][0]
+        )
+        ver = 0 if prev is None else int(prev) + 1
+    else:
+        ver = 0
     rows = [
         (model_id, ver, i, [float(v) for v in c]) for i, c in enumerate(centroids)
     ]

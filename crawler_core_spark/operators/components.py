@@ -71,6 +71,17 @@ def connected_components(
     the minimum id in the node's connected component.  Ids must be
     integral (hash string ids to int64 first — xxhash64 — as every
     miner in this package already does for shuffle keys)."""
+    # static guard: a non-integral id column (string doc ids, doubles)
+    # would cast to NULL with ANSI off, silently dropping EVERY edge and
+    # reporting all nodes as singletons — fail loudly on the driver instead.
+    dtypes = dict(edges.dtypes)
+    for c in (id_a, id_b):
+        if dtypes.get(c) not in ("tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"connected_components: column {c!r} has type "
+                f"{dtypes.get(c)!r}; ids must be integral — hash string ids "
+                "first (F.xxhash64)"
+            )
     e = (
         edges.select(
             F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")

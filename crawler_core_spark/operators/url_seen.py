@@ -41,6 +41,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, StructField, StructType
 
 from crawler_core_spark.storage import TableStore
 
@@ -152,7 +153,12 @@ class BloomUrlSeen:
         in_cols = df.columns
         keyed = df.withColumn("_pid", self._pid(F.col(key)))
         state = self._state()
-        schema = df.schema.add("seen", "boolean")
+        # fresh StructType: StructType.add MUTATES in place, and
+        # DataFrame.schema is cached — df.schema.add would give the
+        # caller's frame a phantom "seen" column.
+        schema = StructType(
+            list(df.schema.fields) + [StructField("seen", BooleanType())]
+        )
 
         def _probe(lk, cand, st):
             if cand.empty:
@@ -366,7 +372,10 @@ class CuckooUrlSeen:
         m = self.m
         in_cols = df.columns
         keyed = df.withColumn("_pid", self._pid(F.col(key)))
-        schema = df.schema.add("seen", "boolean")
+        # fresh StructType (not df.schema.add — see BloomUrlSeen.probe)
+        schema = StructType(
+            list(df.schema.fields) + [StructField("seen", BooleanType())]
+        )
 
         def _probe(lk, cand, st):
             if cand.empty:
@@ -402,7 +411,20 @@ class CuckooUrlSeen:
             table = CuckooUrlSeen._latest(st, m)
             ver = 0 if st.empty else int(st["ver"].max()) + 1
             if not new.empty:
-                op(table, new["url_key"].to_numpy(), m)
+                failed = op(table, new["url_key"].to_numpy(), m)
+                if failed:
+                    # a full filter would otherwise produce SILENT false
+                    # negatives (keys never marked seen -> re-fetched
+                    # forever, and deleting a never-inserted key can evict
+                    # someone else's fingerprint).  Fail the stage job —
+                    # nothing commits — so the operator tells the user to
+                    # resize instead of quietly corrupting the seen-set.
+                    raise ValueError(
+                        f"cuckoo filter partition {pid} is full: {failed} key(s) "
+                        f"unplaceable at ~{m * _CUCKOO_SLOTS} slots/partition. "
+                        "Increase partitions or buckets_per_partition "
+                        "(capacity = partitions * buckets * 4 slots * ~0.95 load)."
+                    )
             return pd.DataFrame(
                 {"partition_id": [pid], "ver": [ver], "table": [table.tobytes()]}
             )

@@ -482,6 +482,11 @@ class CrawlEngine:
         while max_batches is None or len(stats) < int(max_batches):
             timings: dict = {}
             t = time.time()
+            # optimistic-concurrency base: everything staged below derives
+            # from the state visible NOW; a concurrent worker committing to
+            # these tables in between makes our commit raise
+            # CommitConflictError rather than resurrect its completed jobs.
+            commit_base = self.store.commit_count()
             frontier = self.store.read("frontier").persist()
             if remaining is None:
                 remaining = frontier.count()
@@ -554,7 +559,11 @@ class CrawlEngine:
             )
             hits = fetch_hits(
                 fetch_src,
-                self._pruned_images(to_fetch),
+                # prune from the PERSISTED selected (superset of to_fetch's
+                # ids, so the bucket/id filters stay correct): pruning from
+                # to_fetch would re-execute the whole URL-seen cogroup
+                # probe + dedup window as an extra action every batch.
+                self._pruned_images(selected),
                 timeout_col,
                 broadcast_batch=use_bcast,
                 internal_fault=fault,
@@ -808,6 +817,7 @@ class CrawlEngine:
             clock_next = clock + self.batch_period
             self.store.commit(
                 staged,
+                expected_base=commit_base,
                 meta={
                     "kind": "batch",
                     "batch_id": batch_id,

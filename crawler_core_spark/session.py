@@ -14,6 +14,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+def total_cores(master: str) -> int:
+    """Advertised parallelism of a master string; 0 = unknown (local[*]).
+
+    local[N] -> N; local[N,F] -> N (F is task maxFailures, NOT a core
+    multiplier); local-cluster[E,C,M] -> E*C; anything else -> 0.
+    """
+    if "[" not in master:
+        return 0
+    inner = master[master.index("[") + 1 : -1]
+    if master.startswith("local-cluster") and "," in inner:
+        execs, cores = inner.split(",")[:2]
+        return int(execs) * int(cores)
+    threads = inner.split(",")[0]
+    return 0 if threads == "*" else int(threads)
+
+
 def get_spark(
     app_name: str = "crawler-core-spark",
     master: str | None = None,
@@ -25,15 +41,7 @@ def get_spark(
     # shuffle partitions sized to the parallelism level; at cluster scale this
     # would be ~2-3x total cores (AQE coalesces the excess at runtime).
     if shuffle_partitions is None:
-        # total cores: local[N] -> N; local-cluster[E,C,M] -> E*C
-        inner = master[master.index("[") + 1 : -1] if "[" in master else "32"
-        if "," in inner:
-            execs, cores = inner.split(",")[:2]
-            n = int(execs) * int(cores)
-        elif inner == "*":
-            n = 0
-        else:
-            n = int(inner)
+        n = total_cores(master)
         shuffle_partitions = max(8, 2 * n) if n else 64
 
     # one BLAS thread per python worker: N workers x M BLAS spin-threads

@@ -34,6 +34,13 @@ from pyspark.sql import functions as F
 _LOG = "_commits.json"
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed to an overlapping table set since this
+    writer read its base state (optimistic-concurrency failure — the
+    Iceberg validation-exception analogue).  The caller's staged state was
+    computed from a stale snapshot; retry the whole read-stage-commit."""
+
+
 class TableStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -119,14 +126,28 @@ class TableStore:
                 f.write(df.schema.json())
         return rel
 
-    def commit(self, staged: dict[str, tuple], meta: dict | None = None) -> int:
+    def commit(
+        self,
+        staged: dict[str, tuple],
+        meta: dict | None = None,
+        expected_base: int | None = None,
+    ) -> int:
         """staged: table -> (mode, relpath) with mode in {'append',
         'replace'}, or ('merge', relpath, part_col, part_values) for a
         PARTITION-LEVEL replace (Iceberg MERGE / dynamic-partition-
         overwrite analogue): the snapshot supersedes exactly the listed
         hive partitions of the table — a listed partition with no data
         files in the snapshot becomes empty.  All tables become visible
-        atomically.  Returns commit id."""
+        atomically.  Returns commit id.
+
+        ``expected_base``: optimistic concurrency (Iceberg commit
+        validation).  Pass ``commit_count()`` captured BEFORE reading the
+        state this commit was derived from; if any commit since then
+        touched an overlapping table set, raises CommitConflictError
+        instead of silently overwriting the other writer's state (the
+        advisory lock alone only serializes the log append — it cannot
+        see that a replace/merge snapshot was computed from a stale
+        read)."""
         tables = {}
         for t, v in staged.items():
             if v[0] == "merge":
@@ -141,12 +162,29 @@ class TableStore:
         # by an advisory lock; staging stayed uncontended outside it
         with self._commit_lock():
             entries = self.log()
+            if expected_base is not None:
+                clashes = [
+                    (e["commit_id"], sorted(set(e["tables"]) & set(tables)))
+                    for e in entries[expected_base:]
+                    if set(e["tables"]) & set(tables)
+                ]
+                if clashes:
+                    raise CommitConflictError(
+                        f"commit base {expected_base} is stale: concurrent "
+                        f"commits touched overlapping tables {clashes}; "
+                        "re-read state and retry the batch"
+                    )
             commit_id = len(entries)
             entries.append(
                 {"commit_id": commit_id, "meta": meta or {}, "tables": tables}
             )
             self._write_log(entries)
         return commit_id
+
+    def commit_count(self) -> int:
+        """Current log length — capture before reading state, pass to
+        ``commit(expected_base=...)`` for optimistic concurrency."""
+        return len(self.log())
 
     def write(self, df: DataFrame, table: str, mode: str = "append", meta: dict | None = None) -> int:
         return self.commit({table: (mode, self.stage(df, table))}, meta=meta)
@@ -249,6 +287,13 @@ class TableStore:
 
     def exists(self, table: str) -> bool:
         return bool(self.table_paths(table))
+
+    def tables(self) -> list[str]:
+        """All table names ever committed in this warehouse."""
+        names = set()
+        for e in self.log():
+            names.update(e["tables"])
+        return sorted(names)
 
     @staticmethod
     def _is_partitioned(path: str) -> bool:
