@@ -228,7 +228,24 @@ def main(argv: list[str] | None = None) -> int:
                     f"{args.urlSeen}: {existing or '(none)'}"
                 )
             eng = make_engine(seen_table_suffix=args.scanName)
-        stats = eng.run(max_batches=args.maxBatches, verbose=True)
+        # optimistic-concurrency retry (the Iceberg client pattern): a
+        # CommitConflictError means another worker advanced the shared
+        # tables after our state read; eng.run() re-derives clock /
+        # batch_id / offset / frontier from the NOW-committed state on
+        # entry, so a plain re-invoke is the correct retry.
+        from crawler_core_spark.storage import CommitConflictError
+
+        for attempt in range(3):
+            try:
+                stats = eng.run(max_batches=args.maxBatches, verbose=True)
+                break
+            except CommitConflictError as e:
+                print(f"worker: commit conflict (attempt {attempt + 1}/3): {e}")
+        else:
+            raise SystemExit(
+                "worker: repeated commit conflicts — another writer is "
+                "continuously committing to this warehouse's crawl tables"
+            )
         print(f"worker drained frontier in {len(stats)} batches")
     return 0
 

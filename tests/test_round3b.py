@@ -101,10 +101,13 @@ def test_commit_conflict_on_overlapping_tables(spark, tmp_path):
 
 def test_engine_batch_commit_carries_conflict_base(spark, tmp_path):
     """A foreign commit to the frontier between a batch's state read and
-    its commit must abort the batch, not resurrect completed jobs."""
+    its commit must abort the batch, not resurrect completed jobs — and a
+    plain eng.run() re-invoke (the worker CLI's retry) must recover from
+    the committed state with no duplicate results."""
     from test_round2 import make_engine, small_inputs
 
     targets, dns, dl, robots, images = small_inputs(spark)
+    targets = targets.limit(6)
     eng = make_engine(spark, tmp_path, images, "occ-eng")
     eng.publish(targets, dns, dl, robots, "bs-occ")
 
@@ -114,15 +117,21 @@ def test_engine_batch_commit_carries_conflict_base(spark, tmp_path):
     def sabotage(staged, meta=None, expected_base=None):
         if fired["n"] == 0 and (meta or {}).get("kind") == "batch":
             fired["n"] += 1
-            # foreign writer sneaks in AFTER our state read, BEFORE commit
-            df = eng.spark.range(1).selectExpr("id as url_key")
-            real_commit({"frontier": ("append", eng.store.stage(df, "frontier"))})
+            # foreign writer sneaks in AFTER our state read, BEFORE our
+            # commit (schema-valid empty append — overlap is what counts)
+            empty = eng.store.read("frontier").limit(0)
+            real_commit({"frontier": ("append", eng.store.stage(empty, "frontier"))})
         return real_commit(staged, meta=meta, expected_base=expected_base)
 
     eng.store.commit = sabotage
     with pytest.raises(CommitConflictError):
         eng.run(max_batches=2)
     eng.store.commit = real_commit
+    # retry: state re-derived from the log on entry; crawl completes
+    eng.run()
+    res = eng.store.read("results")
+    assert res.count() == res.select("job_id").distinct().count()
+    assert res.count() == targets.count()
 
 
 # ---------------------------------------------------------------------------
