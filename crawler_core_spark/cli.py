@@ -133,14 +133,11 @@ def main(argv: list[str] | None = None) -> int:
     images = spark.read.parquet(args.images)
 
     def make_engine(seen_table_suffix: str | None = None):
+        from crawler_core_spark.operators.url_seen import SEEN_TABLE_BASES
+
         kw = {}
         if seen_table_suffix:
-            base = {
-                "exact": "url_seen_keys",
-                "bloom": "url_seen_bloom",
-                "cuckoo": "url_seen_cuckoo",
-            }[args.urlSeen]
-            kw["table"] = f"{base}_{seen_table_suffix}"
+            kw["table"] = f"{SEEN_TABLE_BASES[args.urlSeen]}_{seen_table_suffix}"
         return CrawlEngine(
             spark, store, images,
             url_seen_kind=args.urlSeen,
@@ -209,11 +206,9 @@ def main(argv: list[str] | None = None) -> int:
                 "by Spark executor cores in this engine"
             )
         if args.scanName:
-            base = {
-                "exact": "url_seen_keys",
-                "bloom": "url_seen_bloom",
-                "cuckoo": "url_seen_cuckoo",
-            }[args.urlSeen]
+            from crawler_core_spark.operators.url_seen import SEEN_TABLE_BASES
+
+            base = SEEN_TABLE_BASES[args.urlSeen]
             seen_table = f"{base}_{args.scanName}"
             if not store.exists(seen_table):
                 # a typo'd/unsuffixed name would silently probe an EMPTY

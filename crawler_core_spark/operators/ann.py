@@ -282,7 +282,12 @@ def save_centroids(
     by ``saved_ver`` at load, never by row order."""
     # next ver = max existing saved_ver + 1 (NOT snapshot_count: the
     # snapshot chain collapses to 1 on `cli compact`, which would hand a
-    # later save a LOWER ver and make load_centroids return stale cells)
+    # later save a LOWER ver and make load_centroids return stale cells).
+    # The read-max-then-append is guarded by expected_base: two concurrent
+    # trainers would otherwise both claim the same ver, and load_centroids
+    # would collect BOTH snapshots' rows — a doubled, corrupt cell list.
+    # The losing trainer gets CommitConflictError and should retry.
+    base = store.commit_count()
     if store.exists(table):
         prev = (
             store.read(table)
@@ -297,7 +302,10 @@ def save_centroids(
         (model_id, ver, i, [float(v) for v in c]) for i, c in enumerate(centroids)
     ]
     return store.write(
-        store.spark.createDataFrame(rows, CENTROIDS_SCHEMA), table, mode="append"
+        store.spark.createDataFrame(rows, CENTROIDS_SCHEMA),
+        table,
+        mode="append",
+        expected_base=base,
     )
 
 

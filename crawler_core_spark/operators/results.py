@@ -45,15 +45,21 @@ def merge_partials(
     the live snapshot chain reaches ``compact_every`` directories, one
     compacted replace (window applied once) bounds both the chain length
     and the superseded-row volume readers must skip."""
-    if (
-        compact_every
-        and store.exists(table)
-        and store.snapshot_count(table) + 1 >= compact_every
-    ):
+    if store.exists(table) and store.should_compact(table, compact_every):
+        from crawler_core_spark.storage import CommitConflictError
+
+        # the compacted replace is derived from the chain read here; a
+        # concurrent worker's append in between would be dropped by an
+        # unguarded replace — on conflict fall back to the always-safe
+        # append (the next cadence hit compacts again).
+        base = store.commit_count()
         merged = latest_result_per_job(
             store.read(table).unionByName(new_partials, allowMissingColumns=True)
         )
-        return store.write(merged, table, mode="replace")
+        try:
+            return store.write(merged, table, mode="replace", expected_base=base)
+        except CommitConflictError:
+            pass
     return store.write(new_partials, table, mode="append")
 
 

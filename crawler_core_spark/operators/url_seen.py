@@ -48,6 +48,14 @@ from crawler_core_spark.storage import TableStore
 KEYS_TABLE = "url_seen_keys"
 BLOOM_TABLE = "url_seen_bloom"
 
+# kind -> base table name, the single registry every caller (engine
+# factory, CLI -scanName validation) derives per-scan table names from
+SEEN_TABLE_BASES = {
+    "exact": KEYS_TABLE,
+    "bloom": BLOOM_TABLE,
+    "cuckoo": "url_seen_cuckoo",
+}
+
 BLOOM_SCHEMA = "partition_id: int, ver: long, bloom: binary"
 
 _BLOOM_K = 7  # hash functions
@@ -191,10 +199,7 @@ class BloomUrlSeen:
         CLI/worker runs on one warehouse still compact on schedule.
         """
         m = self.m
-        compacting = bool(
-            self.compact_every
-            and self.store.snapshot_count(self.table) + 1 >= self.compact_every
-        )
+        compacting = self.store.should_compact(self.table, self.compact_every)
         keyed = df.select(F.col(key).alias("url_key")).withColumn(
             "_pid", self._pid(F.col("url_key"))
         )
@@ -394,10 +399,7 @@ class CuckooUrlSeen:
 
     def _stage_update(self, df: DataFrame, key: str, op) -> tuple[str, tuple[str, str]]:
         m = self.m
-        compacting = bool(
-            self.compact_every
-            and self.store.snapshot_count(self.table) + 1 >= self.compact_every
-        )
+        compacting = self.store.should_compact(self.table, self.compact_every)
         keyed = df.select(F.col(key).alias("url_key")).withColumn(
             "_pid", self._pid(F.col("url_key"))
         )

@@ -88,7 +88,7 @@ from crawler_core_spark.operators.scheduler import (
 from crawler_core_spark.operators.rankutil import dense_seq
 from crawler_core_spark.operators.url_seen import make_url_seen
 from crawler_core_spark.plans.monitor import ProgressMonitor
-from crawler_core_spark.storage import TableStore
+from crawler_core_spark.storage import CommitConflictError, TableStore
 
 FRONTIER_COLS = [
     "job_id", "bulk_scan_id", "seq", "target", "hostname", "ip", "port",
@@ -815,21 +815,30 @@ class CrawlEngine:
             staged["counters"] = ("append", self.store.stage(lineage, "counters"))
             t = self._tick(timings, "stage_counters", t)
             clock_next = clock + self.batch_period
-            self.store.commit(
-                staged,
-                expected_base=commit_base,
-                meta={
-                    "kind": "batch",
-                    "batch_id": batch_id,
-                    "clock": clock_next,
-                    "crawl_offset": offset + fetched_cnt,
-                    "fetched": fetched_cnt,
-                    "deduped": deduped_cnt,
-                    "deferred": deferred_cnt,
-                    "requeued": requeued_cnt,
-                    "hist": self.store.last_meta("hist"),
-                },
-            )
+            try:
+                self.store.commit(
+                    staged,
+                    expected_base=commit_base,
+                    meta={
+                        "kind": "batch",
+                        "batch_id": batch_id,
+                        "clock": clock_next,
+                        "crawl_offset": offset + fetched_cnt,
+                        "fetched": fetched_cnt,
+                        "deduped": deduped_cnt,
+                        "deferred": deferred_cnt,
+                        "requeued": requeued_cnt,
+                        "hist": self.store.last_meta("hist"),
+                    },
+                )
+            except CommitConflictError:
+                # conflict is an EXPECTED flow (the worker CLI retries the
+                # whole run): release this batch's cached frames before
+                # propagating, or each failed attempt pins 5 frames of
+                # batch/frontier state for the rest of the session.
+                for df_ in (dup_rows, hits, fetched, selected, frontier):
+                    df_.unpersist()
+                raise
 
             t = self._tick(timings, "commit", t)
             # periodic results-snapshot compaction (storage maintenance;
@@ -839,10 +848,15 @@ class CrawlEngine:
                 and batch_id > 0
                 and batch_id % self.compact_results_every == 0
             ):
-                self.store.compact(
-                    "results",
-                    partition_by=["bs_part"], sort_within=[F.desc("ts")],
-                )
+                try:
+                    self.store.compact(
+                        "results",
+                        partition_by=["bs_part"], sort_within=[F.desc("ts")],
+                    )
+                except CommitConflictError:
+                    # another worker appended results mid-compaction;
+                    # maintenance is best-effort — next cadence retries
+                    pass
                 t = self._tick(timings, "compact", t)
 
             # A2-A4 driver-side monitoring over the per-batch statuses

@@ -186,8 +186,19 @@ class TableStore:
         ``commit(expected_base=...)`` for optimistic concurrency."""
         return len(self.log())
 
-    def write(self, df: DataFrame, table: str, mode: str = "append", meta: dict | None = None) -> int:
-        return self.commit({table: (mode, self.stage(df, table))}, meta=meta)
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "append",
+        meta: dict | None = None,
+        expected_base: int | None = None,
+    ) -> int:
+        return self.commit(
+            {table: (mode, self.stage(df, table))},
+            meta=meta,
+            expected_base=expected_base,
+        )
 
     def compact(
         self,
@@ -201,14 +212,31 @@ class TableStore:
         replace snapshot, so a thousand-batch run's reads stop enumerating
         a thousand directories.  Readers before the commit keep the old
         manifest; the switch is the same atomic log replace as any commit.
+
+        Conflict-guarded: the replace is computed from the chain read at
+        entry, so a concurrent writer's append between read and commit
+        would be silently dropped by the replace — raises
+        CommitConflictError instead (periodic-maintenance callers catch
+        and skip; the next cadence hit retries).
         """
+        base = self.commit_count()
         df = self.read(table)
         if num_files:
             df = df.coalesce(num_files)
         rel = self.stage(df, table, partition_by=partition_by, sort_within=sort_within)
         return self.commit(
-            {table: ("replace", rel)}, meta={"kind": "compact", "table": table}
+            {table: ("replace", rel)},
+            meta={"kind": "compact", "table": table},
+            expected_base=base,
         )
+
+    def should_compact(self, table: str, every: int | None) -> bool:
+        """Persisted compaction cadence, shared by every operator that
+        bounds a version chain: True when the table's live snapshot chain
+        (plus the commit about to happen) reaches ``every``.  Derived from
+        committed state, never an in-memory counter, so short CLI/worker
+        runs still compact on schedule."""
+        return bool(every and self.snapshot_count(table) + 1 >= every)
 
     def snapshot_count(self, table: str) -> int:
         """Number of live snapshot directories a read of ``table`` touches."""
@@ -256,8 +284,16 @@ class TableStore:
             if t["mode"] == "merge":
                 for v in t["parts"]:
                     owner[int(v)] = t["path"]
-            else:  # the base replace snapshot (appends unsupported here)
+            elif t["mode"] == "replace":  # the base snapshot
                 base = t["path"]
+            else:
+                # an append mixed into a merge chain would silently be
+                # treated as "the base", dropping the real base and every
+                # earlier append from reads — refuse loudly instead.
+                raise ValueError(
+                    f"table {table!r} mixes an append commit into a merge "
+                    "chain; merge tables accept only merge/replace commits"
+                )
         pieces: list[DataFrame] = []
         if base is not None:
             bdf = self._read_snapshot(os.path.join(self.root, base))

@@ -118,20 +118,131 @@ def test_engine_batch_commit_carries_conflict_base(spark, tmp_path):
         if fired["n"] == 0 and (meta or {}).get("kind") == "batch":
             fired["n"] += 1
             # foreign writer sneaks in AFTER our state read, BEFORE our
-            # commit (schema-valid empty append — overlap is what counts)
-            empty = eng.store.read("frontier").limit(0)
-            real_commit({"frontier": ("append", eng.store.stage(empty, "frontier"))})
+            # commit: an append to counters — a plain append table in the
+            # batch's staged set (overlap is what triggers the conflict;
+            # merge tables like the frontier reject raw appends outright)
+            empty = eng.store.read("counters").limit(0)
+            real_commit({"counters": ("append", eng.store.stage(empty, "counters"))})
         return real_commit(staged, meta=meta, expected_base=expected_base)
 
+    def n_cached():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
     eng.store.commit = sabotage
+    before = n_cached()
     with pytest.raises(CommitConflictError):
         eng.run(max_batches=2)
+    # the aborted batch released its persisted frames (retries must not
+    # accumulate pinned frontier/batch state)
+    assert n_cached() == before
     eng.store.commit = real_commit
     # retry: state re-derived from the log on entry; crawl completes
     eng.run()
     res = eng.store.read("results")
     assert res.count() == res.select("job_id").distinct().count()
     assert res.count() == targets.count()
+
+
+def test_compact_detects_concurrent_append(spark, tmp_path):
+    """compact()'s replace is derived from its own read; an append that
+    lands in between must raise, not be silently dropped by the replace."""
+    store = TableStore(spark, str(tmp_path / "occcompact"))
+    df = spark.range(4).select(F.col("id").alias("k"))
+    store.write(df, "results")
+    store.write(df, "results")
+
+    real_read = store.read
+    fired = {"n": 0}
+
+    def sneaky_read(table, *a, **k):
+        out = real_read(table, *a, **k)
+        if table == "results" and fired["n"] == 0:
+            fired["n"] += 1
+            real_read_df = spark.range(1).select(F.col("id").alias("k"))
+            store.write(real_read_df, "results")  # concurrent appender
+        return out
+
+    store.read = sneaky_read
+    with pytest.raises(CommitConflictError):
+        store.compact("results")
+    store.read = real_read
+    # nothing lost: both snapshots plus the concurrent append remain live
+    assert store.read("results").count() == 9
+    # and with no interference compaction succeeds
+    store.compact("results")
+    assert store.snapshot_count("results") == 1
+    assert store.read("results").count() == 9
+
+
+def test_merge_table_rejects_raw_append_on_read(spark, tmp_path):
+    """An append mixed into a merge chain used to silently become 'the
+    base snapshot', vanishing the real base — it must raise instead."""
+    store = TableStore(spark, str(tmp_path / "mergeappend"))
+    df = spark.range(6).select(
+        F.col("id").alias("k"), F.pmod("id", F.lit(2)).cast("int").alias("p")
+    )
+    store.commit({"t": ("replace", store.stage(df, "t", partition_by=["p"]))})
+    part0 = df.filter(F.col("p") == 0)
+    store.commit(
+        {"t": ("merge", store.stage(part0, "t", partition_by=["p"]), "p", [0])}
+    )
+    assert store.read("t").count() == 6
+    store.commit({"t": ("append", store.stage(df.limit(1), "t"))})
+    with pytest.raises(ValueError, match="merge chain"):
+        store.read("t").count()
+
+
+def test_merge_partials_compaction_conflict_falls_back_to_append(spark, tmp_path):
+    from crawler_core_spark.operators.results import merge_partials, read_partials
+
+    store = TableStore(spark, str(tmp_path / "partconf"))
+    mk = lambda jid, ts: spark.createDataFrame(  # noqa: E731
+        [(jid, "RUNNING", float(ts))], "job_id: long, status: string, ts: double"
+    )
+    merge_partials(store, mk(1, 1.0), compact_every=2)
+
+    real_read = store.read
+    fired = {"n": 0}
+
+    def sneaky_read(table, *a, **k):
+        out = real_read(table, *a, **k)
+        if table == "partial_results" and fired["n"] == 0:
+            fired["n"] += 1
+            store.write(mk(99, 5.0), "partial_results")  # concurrent worker
+        return out
+
+    store.read = sneaky_read
+    merge_partials(store, mk(2, 2.0), compact_every=2)  # cadence hit + conflict
+    store.read = real_read
+    assert store.log()[-1]["tables"]["partial_results"]["mode"] == "append"
+    got = {r["job_id"] for r in read_partials(store).collect()}
+    assert got == {1, 2, 99}  # the concurrent worker's row survived
+
+
+def test_save_centroids_conflict_raises(spark, tmp_path):
+    from crawler_core_spark.operators.ann import load_centroids, save_centroids
+
+    store = TableStore(spark, str(tmp_path / "centconf"))
+    save_centroids(store, [[1.0], [2.0]], model_id="m")
+
+    real_read = store.read
+    fired = {"n": 0}
+
+    def sneaky_read(table, *a, **k):
+        out = real_read(table, *a, **k)
+        if table == "ann_centroids" and fired["n"] == 0:
+            fired["n"] += 1
+            store.read = real_read
+            save_centroids(store, [[9.0], [9.0]], model_id="m")  # rival trainer
+            store.read = sneaky_read
+        return out
+
+    store.read = sneaky_read
+    with pytest.raises(CommitConflictError):
+        save_centroids(store, [[3.0], [4.0]], model_id="m")
+    store.read = real_read
+    # no doubled-ver corruption: the rival's model is the clean latest
+    assert load_centroids(store, "m") == [[9.0], [9.0]]
 
 
 # ---------------------------------------------------------------------------
