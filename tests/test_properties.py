@@ -105,3 +105,58 @@ def test_cidr_bounds_match_ipaddress(ip_int, prefix):
     # membership coherence for the ip itself
     n = ipv4_to_long(ip)
     assert (lo <= n <= hi) == (lo <= n <= hi)
+
+
+# ---------------------------------------------------------------------------
+# cuckoo-filter numpy kernel (url_seen's correctness-critical core)
+# ---------------------------------------------------------------------------
+
+from crawler_core_spark.operators.url_seen import (  # noqa: E402
+    _CUCKOO_SLOTS,
+    _cuckoo_delete,
+    _cuckoo_insert,
+    _cuckoo_test,
+)
+
+_M = 1 << 8  # 256 buckets x 4 slots = 1024 slots; cases stay well under load
+
+
+@given(
+    st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=300, unique=True),
+    st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_cuckoo_kernel_no_false_negatives_under_deletion(keys, data):
+    """Inserted keys always test positive; deleting a subset never makes a
+    surviving key test negative (the multiplicity semantics: colliding
+    fingerprints each hold their own slot copy)."""
+    import numpy as np
+
+    table = np.zeros((_M, _CUCKOO_SLOTS), dtype=np.uint8)
+    arr = np.array(keys, dtype=np.int64)
+    failed = _cuckoo_insert(table, arr, _M)
+    assert failed == 0  # <= 300 keys in 1024 slots never overflows
+    assert _cuckoo_test(table, arr, _M).all()
+
+    to_delete = data.draw(st.sets(st.sampled_from(keys)))
+    if to_delete:
+        _cuckoo_delete(table, np.array(sorted(to_delete), dtype=np.int64), _M)
+    survivors = np.array(
+        [k for k in keys if k not in to_delete] or [0], dtype=np.int64
+    )
+    if len(to_delete) < len(keys):
+        assert _cuckoo_test(table, survivors, _M).all()
+
+
+@given(st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=200, unique=True))
+@settings(max_examples=40, deadline=None)
+def test_cuckoo_kernel_delete_all_empties_filter(keys):
+    """Deleting every inserted key restores an empty table — deletion is
+    exact, never leaks fingerprints (duplicate multiplicity preserved)."""
+    import numpy as np
+
+    table = np.zeros((_M, _CUCKOO_SLOTS), dtype=np.uint8)
+    arr = np.array(keys, dtype=np.int64)
+    assert _cuckoo_insert(table, arr, _M) == 0
+    _cuckoo_delete(table, arr, _M)
+    assert (table == 0).all()
