@@ -217,20 +217,32 @@ def train_centroids(
 ):
     """Fit k-means centroids on a deterministic bounded sample.
 
-    The sample is the lowest ``sample`` ids (deterministic, one bounded
-    driver fetch — model TRAINING, not a data-path collect; at 10^10 rows
-    the sample stays 2048 rows).  Lloyd iterations in numpy; empty
-    clusters re-seeded from the farthest points.  Returns a plain
-    list[list[float]] (broadcast as literals by the caller).
+    Sampled BY HASH, never by rank: rows where ``pmod(xxhash64(id), D)
+    == 0`` with D sized from a count so the expected hit set is ~sample
+    rows — a parallel scan-and-filter with NO shuffle and NO total order
+    (the previous ``orderBy(id).limit(n)`` paid a global ordering for a
+    training sample that only needs determinism).  The collected rows are
+    driver-sorted by id and truncated to ``sample`` for an exactly
+    reproducible set.  One bounded driver fetch — model TRAINING, not a
+    data-path collect; at 10^10 rows the fetch stays ~sample rows.
+    Lloyd iterations in numpy; empty clusters re-seeded from the farthest
+    points.  Returns a plain list[list[float]] (broadcast as literals by
+    the caller).
     """
     import numpy as np
 
+    n_rows = embeddings.count()
+    # 2x headroom: hash hits are ~Binomial(n, 1/D); D at n/(2*sample)
+    # makes the expected hit count 2*sample, so undershooting the target
+    # after truncation is vanishingly unlikely while the collect stays
+    # O(sample).
+    d = max(1, int(n_rows // (2 * int(sample))))
     rows = (
         embeddings.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(int(sample))
+        .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(d)) == 0)
         .collect()
     )
+    rows = sorted(rows, key=lambda r: r[0])[: int(sample)]
     x = np.array([list(r[1]) for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     c = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]

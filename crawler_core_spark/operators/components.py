@@ -65,7 +65,7 @@ def connected_components(
     edges: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 64,
 ) -> DataFrame:
     """(id, component) for every node INCIDENT TO AN EDGE; component is
     the minimum id in the node's connected component.  Ids must be
@@ -103,7 +103,11 @@ def connected_components(
         if cur == prev:
             break
         prev = cur
-    else:  # pragma: no cover - O(log^2 n) bound makes this unreachable
+    else:  # pragma: no cover - loud backstop, not an expected state
+        # 64 default: the worst case is ~log2(diameter) + O(log^2 n)
+        # rounds — a pathological high-diameter component (one long
+        # near-dup chain) converges slower than the average-case bound,
+        # and 25 rounds was reachable for valid inputs at 10^10 nodes.
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
     # converged edge set is a star forest: every edge is (member, root)
     labels = e.select(F.col("u").alias("id"), F.col("v").alias("component"))

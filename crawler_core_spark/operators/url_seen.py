@@ -101,22 +101,51 @@ class ExactUrlSeen:
     """Exact seen-set over a committed keys table.
 
     ``table`` scopes the seen-set: recurring scans (CLI cron loop) use a
-    per-scan table so a re-publication re-fetches its targets."""
+    per-scan table so a re-publication re-fetches its targets.
 
-    def __init__(self, store: TableStore, table: str = KEYS_TABLE):
+    ``dedup_keys``: the engine-written keys table is unique by
+    construction (see probe), so the probe-side dedup shuffle is off by
+    default; pass True for a warehouse written by pre-invariant code or
+    by direct ``stage_add`` calls with overlapping key sets (duplicate
+    keys would otherwise fan out the probe's left join and silently
+    duplicate jobs into both to_fetch and dup_rows).  ``validate_unique``
+    checks the invariant explicitly."""
+
+    def __init__(
+        self, store: TableStore, table: str = KEYS_TABLE, dedup_keys: bool = False
+    ):
         self.store = store
         self.table = table
+        self.dedup_keys = dedup_keys
+
+    def validate_unique(self) -> int:
+        """Debug/validate path: number of DUPLICATED keys in the table
+        (0 == the uniqueness invariant the default probe relies on)."""
+        if not self.store.exists(self.table):
+            return 0
+        return (
+            self.store.read(self.table)
+            .groupBy("url_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .count()
+        )
 
     def probe(self, df: DataFrame, key: str = "url_key") -> DataFrame:
         """Append boolean ``seen`` column."""
         if not self.store.exists(self.table):
             return df.withColumn("seen", F.lit(False))
-        # no .distinct(): the keys table is unique by construction —
-        # stage_add writes distinct keys per batch, and a key already in
-        # the table can never be re-added (its later jobs probe seen=true
-        # and are DEDUPED before reaching a terminal fetch) — so the
-        # full-table dedup shuffle the probe used to pay bought nothing.
-        seen = self.store.read(self.table).select(
+        # no .distinct() by default: the keys table is unique by
+        # construction — stage_add writes distinct keys per batch, and a
+        # key already in the table can never be re-added (its later jobs
+        # probe seen=true and are DEDUPED before reaching a terminal
+        # fetch) — so the full-table dedup shuffle the probe used to pay
+        # bought nothing.  dedup_keys=True restores it for tables that
+        # predate (or bypass) the invariant.
+        keys_df = self.store.read(self.table)
+        if self.dedup_keys:
+            keys_df = keys_df.select("url_key").distinct()
+        seen = keys_df.select(
             F.col("url_key").alias("_seen_key")
         ).withColumn("_seen", F.lit(True))
         return (
@@ -256,31 +285,59 @@ def _cuckoo_alt(i: np.ndarray, fp: np.ndarray, m: int) -> np.ndarray:
     ).astype(np.int64)
 
 
+def _bulk_place(table: np.ndarray, fps: np.ndarray, buckets: np.ndarray) -> np.ndarray:
+    """Vectorized first-fit: place each (fp -> bucket) request into a free
+    slot of its bucket, as many as capacity allows.  Keys contending for
+    one bucket are ranked (stable by input order); key with in-bucket
+    rank r takes the (r+1)-th free slot iff r < #free.  All numpy — no
+    per-key Python.  Returns the boolean placed mask (input order)."""
+    n = len(fps)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.argsort(buckets, kind="stable")
+    b_sorted = buckets[order]
+    grp_start = np.flatnonzero(np.r_[True, b_sorted[1:] != b_sorted[:-1]])
+    counts = np.diff(np.r_[grp_start, n])
+    ranks = np.arange(n, dtype=np.int64) - np.repeat(grp_start, counts)
+    free_mask = table[b_sorted] == 0  # (n, SLOTS)
+    fits = ranks < free_mask.sum(axis=1)
+    # slot index of each key's (rank+1)-th free slot
+    want = (np.cumsum(free_mask, axis=1) == (ranks + 1)[:, None]) & free_mask
+    slots = want.argmax(axis=1)
+    table[b_sorted[fits], slots[fits]] = fps[order][fits]
+    placed = np.zeros(n, dtype=bool)
+    placed[order[fits]] = True
+    return placed
+
+
 def _cuckoo_insert(table: np.ndarray, keys: np.ndarray, m: int) -> int:
-    """Insert keys (sequential with bounded eviction — per-batch deltas
-    are O(batch / P) rows per partition, so this loop is bounded by the
-    politeness budget, not the corpus). Returns #failed (filter full)."""
-    rng = np.random.default_rng(1234)
+    """Insert keys: vectorized first-fit into the primary bucket, then the
+    alternate bucket; only keys finding BOTH buckets full fall to the
+    per-key bounded-eviction walk (at sane load factors a vanishing tail
+    — the round-3 version paid Python-per-key for every insert).
+    Returns #failed (filter full).
+
+    Deliberately NO already-present suppression: distinct keys that
+    collide on (bucket, fingerprint) must each hold their own slot copy,
+    or deleting one would false-negative the other (standard
+    cuckoo-filter multiplicity semantics; the engine adds each url_key
+    at most once, so copies = colliding distinct keys)."""
     fps = _cuckoo_fp(keys)
     i1s = _cuckoo_i1(keys, m)
+    placed = _bulk_place(table, fps, i1s)
+    if placed.all():
+        return 0
+    rem = ~placed
+    fps2, i1s2 = fps[rem], i1s[rem]
+    i2s2 = _cuckoo_alt(i1s2, fps2, m)
+    placed2 = _bulk_place(table, fps2, i2s2)
+    if placed2.all():
+        return 0
+    # eviction tail (per-key, bounded walk — reached only when both
+    # candidate buckets were full)
+    rng = np.random.default_rng(1234)
     failed = 0
-    for fp, i1 in zip(fps.tolist(), i1s.tolist()):
-        i2 = int(_cuckoo_alt(np.array([i1]), np.array([fp]), m)[0])
-        # deliberately NO already-present suppression: distinct keys that
-        # collide on (bucket, fingerprint) must each hold their own slot
-        # copy, or deleting one would false-negative the other (standard
-        # cuckoo-filter multiplicity semantics; the engine adds each
-        # url_key at most once, so copies = colliding distinct keys).
-        placed = False
-        for b in (i1, i2):
-            empty = np.flatnonzero(table[b] == 0)
-            if len(empty):
-                table[b][empty[0]] = fp
-                placed = True
-                break
-        if placed:
-            continue
-        # bounded eviction walk
+    for fp, i1 in zip(fps2[~placed2].tolist(), i1s2[~placed2].tolist()):
         b, cur = i1, fp
         for _ in range(500):
             s = int(rng.integers(0, _CUCKOO_SLOTS))
@@ -444,7 +501,19 @@ class CuckooUrlSeen:
 
     def stage_remove(self, df: DataFrame, key: str = "url_key") -> tuple[str, tuple[str, str]]:
         """Deletion — bloom's missing capability: un-mark keys so they
-        probe unseen again (recrawl / cache-invalidation path)."""
+        probe unseen again (recrawl / cache-invalidation path).
+
+        PRECONDITION (standard cuckoo-filter deletion contract, Fan et
+        al. §3.3): only remove keys that were previously inserted and not
+        yet removed.  A key that tests negative is skipped (probe-before-
+        delete is built into ``_cuckoo_delete``: no matching fingerprint
+        -> no slot cleared), but a NEVER-INSERTED key whose fingerprint
+        collides with a resident key's (same bucket, same 8-bit fp —
+        indistinguishable by construction) would evict the resident key
+        and silently false-negative it (perpetual re-fetch).  The engine
+        satisfies the contract structurally: keys are added at most once
+        (terminal-state transitions only) and removed only via explicit
+        recrawl of previously-seen keys."""
         return self._stage_update(df, key, _cuckoo_delete)
 
 

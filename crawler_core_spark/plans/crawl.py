@@ -245,22 +245,30 @@ class CrawlEngine:
         ):
             return self.images
         n = int(self.images_buckets or IMAGES_BUCKETS_DEFAULT)
-        # ONE bounded driver fetch serves both pruning levels: the
-        # distinct (bucket, image_id) pairs of the batch.
-        pairs = (
-            batch.select(image_id_from_host(F.col("host")).alias("i"))
-            .distinct()
-            .select(image_bucket_col(F.col("i"), n).alias("b"), "i")
+        batch_ids = batch.select(
+            image_id_from_host(F.col("host")).alias("i")
+        ).distinct()
+        # Driver contract ("driver sees O(1) rows per batch"): the
+        # unconditional collect is the per-bucket distinct-id COUNT —
+        # <= images_buckets rows regardless of batch size.  The id-level
+        # collect below is gated on that count, so it is bounded by the
+        # pushdown cap, never by the batch.
+        per_bucket = (
+            batch_ids.select(image_bucket_col(F.col("i"), n).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("n_ids"))
             .collect()
         )
-        buckets = sorted({r["b"] for r in pairs})
+        buckets = sorted(int(r["b"]) for r in per_bucket)
+        total_ids = int(sum(r["n_ids"] for r in per_bucket))
         pruned = self.images.filter(F.col(self.images_bucket_col).isin(buckets))
         cap = self.images_id_pushdown_cap
-        if cap is not None and len(pairs) <= cap:
+        if cap is not None and total_ids <= cap:
             # literal In(image_id, ...) reaches the parquet reader as a
             # data filter: row-group stats + dictionary pages skip the
-            # non-hit remainder of each touched bucket.
-            ids = sorted({r["i"] for r in pairs})
+            # non-hit remainder of each touched bucket.  This collect is
+            # capped (<= images_id_pushdown_cap ids) by the check above.
+            ids = sorted(r["i"] for r in batch_ids.collect())
             pruned = pruned.filter(F.col("image_id").isin(ids))
         return pruned
 
@@ -289,6 +297,15 @@ class CrawlEngine:
         t = time.time()
         if published_at is None:
             published_at = time.time()
+        # optimistic-concurrency base, captured BEFORE any state read:
+        # (a) the publish commit validates against it, so a concurrent
+        # worker/publisher commit to these tables raises
+        # CommitConflictError instead of being clobbered by our frontier
+        # replace; (b) pub_seq is derived from it — under (a)'s guard two
+        # publishers can never both commit from the same base, so pub_seq
+        # is collision-free AND monotonic in commit order (the previous
+        # unguarded len(log()) could be claimed twice).
+        commit_base = self.store.commit_count()
         cfg = scan_config or ScanConfig(timeout_ms=self.scan_timeout_ms)
         routed = parse_and_route(targets, dns, denylist, bulk_scan_id, default_port)
 
@@ -400,8 +417,9 @@ class CrawlEngine:
             # commit-order stamp: parquet row order across unioned
             # snapshots is arbitrary, so re-publications of the SAME
             # bulk_scan_id are disambiguated by max_by(pub_seq), never by
-            # collect order (finalize).
-            "pub_seq": len(self.store.log()),
+            # collect order (finalize).  Unique-by-construction: the
+            # publish commit is guarded by expected_base=commit_base.
+            "pub_seq": commit_base,
             "published_at": float(published_at),
             "targets_given": targets_given,
             "scan_jobs_published": counters["scan_jobs_published"],
@@ -451,12 +469,17 @@ class CrawlEngine:
         self.step_timings.append(timings)
         self.store.commit(
             staged,
+            expected_base=commit_base,
             meta={
                 "kind": "publish",
                 "bulk_scan_id": bulk_scan_id,
                 "clock": 0.0,
                 "batch_id": -1,
                 "crawl_offset": 0,
+                # the committed frontier LAYOUT: batch merge commits must
+                # recompute fpart with this same P or _read_merge silently
+                # drops rows (run() validates on entry/resume).
+                "frontier_parts": int(self.frontier_parts),
                 "hist": {k: int(v) for k, v in hist.items()},
             },
         )
@@ -466,6 +489,20 @@ class CrawlEngine:
     # crawl loop (§3.2)
     # ------------------------------------------------------------------
     def run(self, max_batches: int | None = None, verbose: bool = False) -> list[BatchStats]:
+        # layout guard: the frontier's hive partitioning was committed by
+        # publish with a specific P; a resuming engine configured with a
+        # DIFFERENT frontier_parts would recompute fpart into partitions
+        # not listed in its merge commits — _read_merge would silently
+        # drop them and resurrect stale base rows.  Fail loudly instead.
+        # (Warehouses from pre-meta versions carry no value -> unchecked.)
+        stored_parts = self.store.last_meta("frontier_parts")
+        if stored_parts is not None and int(stored_parts) != int(self.frontier_parts):
+            raise ValueError(
+                f"frontier layout mismatch: warehouse committed with "
+                f"frontier_parts={stored_parts}, engine configured with "
+                f"{self.frontier_parts}; use the committed value (merge "
+                "commits on a re-partitioned layout silently lose rows)"
+            )
         clock = float(self.store.last_meta("clock") or 0.0)
         batch_id = int(self.store.last_meta("batch_id") if self.store.last_meta("batch_id") is not None else -1) + 1
         offset = int(self.store.last_meta("crawl_offset") or 0)
@@ -859,17 +896,15 @@ class CrawlEngine:
                     pass
                 t = self._tick(timings, "compact", t)
 
-            # A2-A4 driver-side monitoring over the per-batch statuses
-            # (already observed on the results write; DEDUPED rows never
-            # went through the worker, mirroring the reference's
-            # done-notification stream)
-            batch_statuses = [
-                s
-                for s, n in sorted(batch_counts.items())
-                if s != "DEDUPED"
-                for _ in range(n)
-            ]
-            monitor.on_batch(batch_statuses, now=clock_next)
+            # A2-A4 driver-side monitoring over the per-batch status
+            # COUNTS (already observed on the results write; DEDUPED rows
+            # never went through the worker, mirroring the reference's
+            # done-notification stream).  Counts, not an expanded status
+            # list: the monitor update is O(1) per batch.
+            monitor.on_batch_counts(
+                {s: n for s, n in batch_counts.items() if s != "DEDUPED"},
+                now=clock_next,
+            )
             t = self._tick(timings, "monitor", t)
             self.step_timings.append(timings)
             if verbose:

@@ -39,6 +39,40 @@ class ProgressMonitor:
         for s in statuses:
             self.on_done(s, now)
 
+    def on_batch_counts(self, counts: dict, now: float) -> None:
+        """Batch update from per-status COUNTS — the O(1)-driver form the
+        engine feeds (the counts are already in hand from the results
+        write's Observation; expanding them into an O(batch) status list
+        was the round-3 scale flag).
+
+        Mathematically identical to calling ``on_done`` once per row at
+        the same ``now``: the first row contributes duration = now -
+        last_time, every subsequent row duration 0, so
+        ``ma_m = ma_1 * prod_{i=2..m} (1 - alpha(total+i))`` — and the
+        alpha schedule makes that product closed-form:
+        ``(1-alpha(t)) = (t-1)/(t+1)`` for t <= 20 telescopes to
+        ``(lo-1)*lo / (hi*(hi+1))``; for t > 20 it is ``0.9^count``.
+        O(1) regardless of batch size."""
+        m = int(sum(counts.values()))
+        if m == 0:
+            return
+        for s, k in counts.items():
+            self.status_counts[s] = self.status_counts.get(s, 0) + int(k)
+        t1 = self.total_done + 1
+        a1 = 0.1 if t1 > 20 else 2.0 / (t1 + 1)
+        ma = a1 * (now - self.last_time) + (1 - a1) * self.moving_average
+        lo, hi = self.total_done + 2, self.total_done + m
+        if lo <= hi:
+            small_hi = min(hi, 20)
+            if lo <= small_hi:  # telescoped (t-1)/(t+1) run, t in [lo, small_hi]
+                ma *= (lo - 1) * lo / (small_hi * (small_hi + 1))
+            big = hi - max(lo - 1, 20)
+            if big > 0:  # the t > 20 plateau: constant alpha 0.1
+                ma *= 0.9**big
+        self.total_done += m
+        self.last_time = now
+        self.moving_average = ma
+
     @property
     def global_average(self) -> float:
         return (self.last_time - self.start_time) / self.total_done if self.total_done else 0.0

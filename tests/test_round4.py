@@ -1,0 +1,261 @@
+"""Round-4 pins: O(1)-driver contract in the crawl loop (bucket-bounded
+pruning collect, counts-based monitor), publish-commit optimistic guard +
+pub_seq derivation, frontier-layout validation, exact-probe dedup guard,
+vectorized cuckoo insert fast path, hash-sampled IVF training.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_core_spark.plans.monitor import ProgressMonitor
+from crawler_core_spark.storage import CommitConflictError, TableStore
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 #1a: _pruned_images driver collect is O(buckets), not O(batch)
+# ---------------------------------------------------------------------------
+
+def _concrete_df_class(spark):
+    # pyspark 4: pyspark.sql.DataFrame dispatches to the classic concrete
+    # subclass; patch THAT class or instance calls never hit the spy
+    return type(spark.range(1).select(F.lit(1)))
+
+
+def _collect_spy(monkeypatch, spark):
+    cls = _concrete_df_class(spark)
+    sizes = []
+    orig = cls.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", spy)
+    return sizes
+
+
+def _bucketed_engine(spark, tmp_path, cap):
+    from crawler_core_spark.operators.fetch import image_bucket_col
+    from crawler_core_spark.plans.crawl import CrawlEngine
+
+    images = spark.range(64).select(
+        F.format_string("img-%05d", F.col("id")).alias("image_id")
+    ).withColumn("img_bucket", image_bucket_col(F.col("image_id"), 16))
+    store = TableStore(spark, str(tmp_path / "prunewh"))
+    return CrawlEngine(
+        spark, store, images,
+        images_bucket_col="img_bucket", images_buckets=16,
+        images_id_pushdown_cap=cap,
+    )
+
+
+def test_pruned_images_collect_bounded_by_buckets(spark, tmp_path, monkeypatch):
+    """A 50k-row batch (5k distinct image ids) with the id pushdown
+    disabled must drive collects of <= images_buckets rows — the round-3
+    version collected every distinct (bucket, id) PAIR unconditionally."""
+    eng = _bucketed_engine(spark, tmp_path, cap=0)
+    batch = spark.range(50_000).select(
+        F.format_string("img-%05d.example.net", F.col("id") % 5000).alias("host")
+    )
+    sizes = _collect_spy(monkeypatch, spark)
+    eng._pruned_images(batch)
+    assert sizes, "pruning ran no driver fetch at all?"
+    assert max(sizes) <= 16, f"driver collect grew past the bucket count: {sizes}"
+
+
+def test_pruned_images_id_pushdown_gated_on_count(spark, tmp_path, monkeypatch):
+    """With the cap enabled and the distinct-id count under it, the id
+    list IS collected — but only after the bucket-level count check, and
+    bounded by the cap."""
+    eng = _bucketed_engine(spark, tmp_path, cap=100)
+    batch = spark.range(1000).select(
+        F.format_string("img-%05d.example.net", F.col("id") % 40).alias("host")
+    )
+    sizes = _collect_spy(monkeypatch, spark)
+    pruned = eng._pruned_images(batch)
+    assert sorted(sizes)[-1] <= 100  # id collect bounded by the cap
+    assert len(sizes) == 2  # bucket counts + gated id fetch
+    # the literal In filter reaches the plan
+    assert "image_id" in pruned._jdf.queryExecution().optimizedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 #1b: monitor consumes counts, closed form == per-row loop
+# ---------------------------------------------------------------------------
+
+def test_monitor_counts_api_matches_per_row_loop():
+    batches = [
+        ({"SUCCESS": 3, "ERROR": 1}, 10.0),
+        ({"SUCCESS": 30}, 20.0),          # crosses the alpha=0.1 plateau
+        ({"EMPTY": 2, "SUCCESS": 5}, 30.0),
+        ({}, 40.0),                        # empty batch: no-op
+        ({"SUCCESS": 100}, 50.0),
+    ]
+    a = ProgressMonitor(expected_total=141)
+    b = ProgressMonitor(expected_total=141)
+    for counts, now in batches:
+        statuses = [s for s, n in sorted(counts.items()) for _ in range(n)]
+        a.on_batch(statuses, now=now)
+        b.on_batch_counts(counts, now=now)
+        assert b.total_done == a.total_done
+        assert b.status_counts == a.status_counts
+        assert b.moving_average == pytest.approx(a.moving_average, rel=1e-12)
+        assert b.last_time == a.last_time
+    assert b.finished == a.finished
+    assert b.eta == pytest.approx(a.eta, rel=1e-12)
+
+
+def test_monitor_counts_small_batch_pre_plateau():
+    """Batch entirely inside the telescoping (t <= 20) regime."""
+    a, b = ProgressMonitor(expected_total=10), ProgressMonitor(expected_total=10)
+    a.on_batch(["SUCCESS"] * 7, now=5.0)
+    b.on_batch_counts({"SUCCESS": 7}, now=5.0)
+    assert b.moving_average == pytest.approx(a.moving_average, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3: publish commit is conflict-guarded; pub_seq is collision-free
+# ---------------------------------------------------------------------------
+
+def test_publish_conflict_detected_not_clobbered(spark, tmp_path, monkeypatch):
+    from test_round2 import make_engine, small_inputs
+
+    targets, dns, dl, robots, images = small_inputs(spark)
+    eng = make_engine(spark, tmp_path, images, "pubconf")
+    intruder = TableStore(spark, eng.store.root)
+    orig_stage = eng.store.stage
+    hit = {"done": False}
+
+    def stage_spy(df, table, **kw):
+        rel = orig_stage(df, table, **kw)
+        if table == "frontier" and not hit["done"]:
+            hit["done"] = True  # concurrent worker commits mid-publish
+            intruder.write(
+                spark.createDataFrame([(1,)], "url_key: long"), "frontier"
+            )
+        return rel
+
+    monkeypatch.setattr(eng.store, "stage", stage_spy)
+    with pytest.raises(CommitConflictError):
+        eng.publish(targets, dns, dl, robots, "bs-conf")
+
+
+def test_pub_seq_monotonic_across_republications(spark, tmp_path):
+    from test_round2 import make_engine, small_inputs
+
+    targets, dns, dl, robots, images = small_inputs(spark)
+    eng = make_engine(spark, tmp_path, images, "pubseq")
+    r1 = eng.publish(targets, dns, dl, robots, "bs-a", published_at=1000.0)
+    eng.run()
+    r2 = eng.publish(targets, dns, dl, robots, "bs-a", published_at=2000.0)
+    assert r2["pub_seq"] > r1["pub_seq"]
+    rows = eng.store.read("bulk_scans").select("pub_seq").collect()
+    seqs = [r["pub_seq"] for r in rows]
+    assert len(seqs) == len(set(seqs))
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3 (medium): frontier layout persisted + validated on resume
+# ---------------------------------------------------------------------------
+
+def test_resume_with_different_frontier_parts_fails_loudly(spark, tmp_path):
+    from crawler_core_spark.plans.crawl import CrawlEngine
+    from test_round2 import make_engine, small_inputs
+
+    targets, dns, dl, robots, images = small_inputs(spark)
+    eng = make_engine(spark, tmp_path, images, "fparts", frontier_parts=8)
+    eng.publish(targets, dns, dl, robots, "bs-f")
+    resumer = CrawlEngine(spark, eng.store, images, frontier_parts=16)
+    with pytest.raises(ValueError, match="frontier_parts=8"):
+        resumer.run(max_batches=1)
+    # matching config resumes fine
+    ok = CrawlEngine(spark, eng.store, images, frontier_parts=8)
+    ok.run()
+    assert eng.store.read("frontier").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3: ExactUrlSeen duplicate-key guard
+# ---------------------------------------------------------------------------
+
+def test_exact_probe_dedup_guard(spark, tmp_path):
+    from crawler_core_spark.operators.url_seen import ExactUrlSeen
+
+    store = TableStore(spark, str(tmp_path / "seenwh"))
+    # a pre-invariant warehouse: the same key appended twice
+    for _ in range(2):
+        store.write(
+            spark.createDataFrame([(42,)], "url_key: long"), "url_seen_keys"
+        )
+    probe_df = spark.createDataFrame([(1, 42), (2, 7)], "job_id: int, url_key: long")
+    assert ExactUrlSeen(store).validate_unique() == 1
+    # default (engine-written tables): duplicate keys WOULD fan out
+    assert ExactUrlSeen(store).probe(probe_df).count() == 3
+    # guard for legacy/external tables: one row per input, seen correct
+    guarded = ExactUrlSeen(store, dedup_keys=True).probe(probe_df)
+    rows = {r["job_id"]: r["seen"] for r in guarded.collect()}
+    assert rows == {1: True, 2: False}
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 #4: vectorized cuckoo insert fast path
+# ---------------------------------------------------------------------------
+
+def test_bulk_place_contention_and_multiplicity():
+    from crawler_core_spark.operators.url_seen import _CUCKOO_SLOTS, _bulk_place
+
+    table = np.zeros((8, _CUCKOO_SLOTS), dtype=np.uint8)
+    fps = np.array([1, 1, 1, 1, 1], dtype=np.uint8)
+    buckets = np.array([0, 0, 0, 0, 0], dtype=np.int64)
+    placed = _bulk_place(table, fps, buckets)
+    assert placed.sum() == _CUCKOO_SLOTS  # capacity respected
+    assert (table[0] == 1).all()          # multiplicity preserved: 4 copies
+    assert not placed[-1]                 # overflow reported, not dropped
+
+
+def test_vectorized_insert_no_false_negatives_bulk():
+    from crawler_core_spark.operators.url_seen import (
+        _CUCKOO_SLOTS,
+        _cuckoo_insert,
+        _cuckoo_test,
+    )
+
+    m = 1 << 12
+    keys = np.unique(
+        np.random.default_rng(3).integers(0, 2**62, size=12_000, dtype=np.int64)
+    )
+    table = np.zeros((m, _CUCKOO_SLOTS), dtype=np.uint8)
+    assert _cuckoo_insert(table, keys, m) == 0
+    assert _cuckoo_test(table, keys, m).all()
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 #7: IVF training sample — no global sort, deterministic
+# ---------------------------------------------------------------------------
+
+def test_train_centroids_plan_has_no_sort(spark):
+    from crawler_core_spark.operators.ann import train_centroids
+
+    df = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=i) for i in range(4)]).alias("embedding"),
+    )
+    plans = []
+    cls = _concrete_df_class(spark)
+    orig = cls.collect
+
+    def spy(self):
+        plans.append(self._jdf.queryExecution().executedPlan().toString())
+        return orig(self)
+
+    try:
+        cls.collect = spy
+        c1 = train_centroids(df, n_centroids=4, sample=64)
+        c2 = train_centroids(df, n_centroids=4, sample=64)
+    finally:
+        cls.collect = orig
+    assert c1 == c2  # deterministic across invocations
+    for p in plans:
+        assert "Sort" not in p and "TakeOrdered" not in p
