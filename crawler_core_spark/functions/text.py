@@ -237,7 +237,24 @@ def winnow_fingerprints_pandas_df(
 # simhash — all-JVM: explode -> xxhash64 per token -> 64 bit-sum aggregates
 # ---------------------------------------------------------------------------
 
-def simhash_df(df, id_col: str, text_col: str):
+def poly_token_hash_col(tok: Column, k: int = 8, base: int = 31) -> Column:
+    """Closed-form polynomial token hash over the first ``k`` chars
+    (missing chars contribute 0): sum(code(c_j) * base^(k-1-j)), exact in
+    int64 (max < 2^43 at the defaults — no modulus, no overflow, no
+    engine-specific hash).  Exists so an SQL oracle can reproduce the
+    ENTIRE simhash pipeline exactly (the production path hashes with
+    xxhash64, which DuckDB lacks) — the winnowing-oracle pattern applied
+    to simhash's token hash."""
+    h = F.lit(0).cast("long")
+    for j in range(k):
+        code = F.when(
+            F.length(tok) > j, F.ascii(F.substring(tok, j + 1, 1)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        h = h + code * F.lit(base ** (k - 1 - j))
+    return h
+
+
+def simhash_df(df, id_col: str, text_col: str, token_hash=None):
     """64-bit simhash per document, entirely native (whole-stage codegen,
     no Python in the plan): explode tokens -> ``xxhash64(token)`` -> per
     bit j, sum(2*bit_j - 1) > 0 decides bit j of the fingerprint.
@@ -246,9 +263,15 @@ def simhash_df(df, id_col: str, text_col: str):
     — at 10^10 docs this is the linear all-JVM path (the previous pandas
     UDF ran a per-token pure-Python FNV loop: the round-1 scale offender).
     Tokenless/empty docs fingerprint to 0.  Returns DataFrame[id, simhash].
+
+    ``token_hash``: Column -> Column producing the per-token 64-bit hash;
+    defaults to ``F.xxhash64``.  The exact-oracle twin passes
+    ``poly_token_hash_col`` — every downstream step (bit sums, sign math,
+    banding, verify) is hash-agnostic and runs identically.
     """
+    token_hash = token_hash or F.xxhash64
     toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
-    hashed = toks.withColumn("h", F.xxhash64(F.col("tok")))
+    hashed = toks.withColumn("h", token_hash(F.col("tok")))
     aggs = [
         F.sum(F.expr(f"shiftrightunsigned(h, {j}) & 1")).alias(f"b{j}")
         for j in range(64)

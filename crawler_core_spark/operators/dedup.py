@@ -154,10 +154,13 @@ def minhash_lsh_pairs(
     return cand
 
 
-def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, token_hash=None
+) -> DataFrame:
     """All-JVM simhash (explode -> xxhash64 -> 64 bit-sum aggregates); no
-    pandas UDF in the plan (the round-1 per-token Python loop is gone)."""
-    return simhash_df(df, id_col, text_col)
+    pandas UDF in the plan (the round-1 per-token Python loop is gone).
+    ``token_hash`` swaps the per-token hash (exact-oracle twin)."""
+    return simhash_df(df, id_col, text_col, token_hash=token_hash)
 
 
 def hamming_pairs(
@@ -216,10 +219,14 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket: int | None = 256,
+    token_hash=None,
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance (see hamming_pairs for
-    the banding scheme and its exactness guarantee)."""
-    fp = simhash_fingerprints(df, id_col, text_col)
+    the banding scheme and its exactness guarantee).  ``token_hash``
+    swaps the per-token hash; every other step is identical — the
+    exact-oracle twin runs THIS function with the SQL-computable
+    polynomial hash."""
+    fp = simhash_fingerprints(df, id_col, text_col, token_hash=token_hash)
     return hamming_pairs(fp, id_col, "simhash", max_hamming, max_bucket)
 
 

@@ -1270,6 +1270,74 @@ QUERIES["doc_minhash_exact_twin"] = q_doc_minhash_exact_twin
 ORACLE_SQL["doc_minhash_exact_twin"] = SQL_DOC_MINHASH_EXACT_TWIN
 
 
+def q_doc_simhash_exact_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash driven with the SQL-computable polynomial token hash
+    (functions/text.py:poly_token_hash_col) instead of xxhash64: the
+    ENTIRE pipeline — token explode, 64 bit-sum aggregates, sign math,
+    16-bit-chunk banding, bit_count verify — runs under the driver's
+    exact oracle gate (max_hamming=3 + max_bucket=None makes banding
+    recall-complete by pigeonhole, so the result is exact, not
+    approximate).  This closes the last un-oracled fingerprint
+    derivation; the production-parameter `doc_simhash` (xxhash64) stays
+    rows-only with its pure-Python pytest pin.
+
+    Bounded to doc_id < 500 (the whole table at the driver's sf0.01):
+    the polynomial hash tops out below 2^43, so the high 16-bit chunk is
+    constant and its band degenerates to all-pairs — quadratic by
+    construction, an oracle-scale twin only."""
+    from crawler_core_spark.functions.text import poly_token_hash_col
+    from crawler_core_spark.operators.dedup import simhash_pairs
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return simhash_pairs(
+        d, id_col="doc_id", text_col="text", max_hamming=3,
+        max_bucket=None, token_hash=poly_token_hash_col,
+    )
+
+
+def _simhash_twin_sql() -> str:
+    """DuckDB oracle for q_doc_simhash_exact_twin, generated from the
+    same closed-form constants (k=8 chars, base 31; max hash < 2^43 so
+    bits 43..63 are identically zero and are omitted from the SQL)."""
+    k, base, nbits = 8, 31, 43
+    poly = " + ".join(
+        f"(CASE WHEN length(tok) > {j} THEN ord(substring(tok, {j + 1}, 1)) "
+        f"ELSE 0 END) * CAST({base ** (k - 1 - j)} AS BIGINT)"
+        for j in range(k)
+    )
+    bit_sums = ", ".join(f"sum((th >> {j}) & 1) AS b{j}" for j in range(nbits))
+    fp_terms = " + ".join(
+        f"(CASE WHEN 2 * b{j} > n THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(nbits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents WHERE doc_id < 500
+), h AS (
+  SELECT doc_id, {poly} AS th FROM toks
+), bits AS (
+  SELECT doc_id, count(*) AS n, {bit_sums} FROM h GROUP BY doc_id
+), fps AS (
+  -- LEFT JOIN mirrors the Spark pipeline's tokenless-doc handling:
+  -- docs whose text is NULL/empty fingerprint to 0
+  SELECT d.doc_id, COALESCE(f.simhash, 0) AS simhash
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+  LEFT JOIN (SELECT doc_id, {fp_terms} AS simhash FROM bits) f USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+SQL_DOC_SIMHASH_EXACT_TWIN = _simhash_twin_sql()
+
+QUERIES["doc_simhash_exact_twin"] = q_doc_simhash_exact_twin
+ORACLE_SQL["doc_simhash_exact_twin"] = SQL_DOC_SIMHASH_EXACT_TWIN
+
+
 def q_doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints (k=4 char grams, window 5):
     the classic dedup/decontamination primitive — any shared substring of
