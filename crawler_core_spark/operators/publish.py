@@ -58,6 +58,7 @@ def parse_and_route(
     denylist: Denylist,
     bulk_scan_id: str,
     default_port: int = 443,
+    parse_paths: bool = False,
 ) -> PublishResult:
     """targets: (seq BIGINT, target STRING) -> routed frontier/results.
 
@@ -66,10 +67,41 @@ def parse_and_route(
     the frontier — the engine does not pay a frontier-wide shuffle to
     dedup a malformed dimension (caught by the generator-collision bug:
     lpad-truncated hosts made 11-way dns duplicates at n>100k).
+
+    ``parse_paths`` [EXT]: the reference's unit of work is host:port
+    (``data/ScanTarget.java:164-170`` — it has no URL-path concept), so
+    the default keeps its parse byte-identical.  When enabled, a seed
+    line's path suffix (everything from the first ``/`` after the
+    authority; protocol ``//`` skipped) is split off natively BEFORE the
+    reference parse into a ``url_path`` column (default ``/``), the
+    canonical URL (and hence the URL-seen key) includes it, and the
+    engine matches robots rules at URL-path granularity
+    (scheduler.robots_match) instead of the constant-root fast path.
     """
+    if parse_paths:
+        t = F.col("target")
+        after = F.when(
+            t.contains("//"),
+            F.expr("substring(target, instr(target, '//') + 2)"),
+        ).otherwise(t)
+        raw_path = F.regexp_extract(after, "(/.*)$", 1)
+        targets = targets.select(
+            "seq",
+            F.when(
+                F.length(raw_path) > 0,
+                t.substr(F.lit(1), F.length(t) - F.length(raw_path)),
+            )
+            .otherwise(t)
+            .alias("target"),
+            F.when(F.length(raw_path) > 0, raw_path)
+            .otherwise(F.lit("/"))
+            .alias("url_path"),
+        )
+    else:
+        targets = targets.withColumn("url_path", F.lit("/"))
     parse = parse_targets_udf(default_port)
     p = targets.withColumn("_p", parse(F.col("target"))).select(
-        "seq", "target", "_p.*"
+        "seq", "target", "url_path", "_p.*"
     )
 
     # J3: no forced broadcast — the dns table scales WITH the frontier
@@ -131,7 +163,19 @@ def parse_and_route(
                 F.hex(F.xxhash64(F.lit(bulk_scan_id), F.col("seq")))
             ),
         )
-        .withColumn("url_canon", canonical_url_col())
+        # the canonical URL carries the path when path parsing is on
+        # (distinct paths on one host are distinct units of work / seen
+        # keys); with the default constant '/' this is byte-identical to
+        # the bare host:port key (Catalyst folds the empty concat).
+        .withColumn(
+            "url_canon",
+            F.concat(
+                canonical_url_col(),
+                F.when(F.col("url_path") != "/", F.col("url_path")).otherwise(
+                    F.lit("")
+                ),
+            ),
+        )
         .withColumn("url_key", url_key_col(F.col("url_canon")))
         .withColumn(
             "priority",

@@ -49,6 +49,7 @@ class OracleJob:
     status: str = "TO_BE_EXECUTED"
     priority: int = UNRANKED_PRIORITY
     url_canon: str = ""
+    url_path: str = "/"
     host: str | None = None
     crawl_delay: float = DEFAULT_CRAWL_DELAY
     batch_id: int = -1
@@ -76,12 +77,26 @@ class OracleRun:
         return out
 
 
+def _split_path(line: str) -> tuple[str, str]:
+    """Mirror of the engine's native path split (operators/publish.py,
+    parse_paths=True): everything from the first '/' after the authority
+    (protocol '//' skipped) is the path; the stripped remainder feeds the
+    reference parse."""
+    after = line.split("//", 1)[1] if "//" in line else line
+    i = after.find("/")
+    if i >= 0:
+        path = after[i:]
+        return line[: len(line) - len(path)], path
+    return line, "/"
+
+
 def publish_oracle(
     lines: list[str],
     dns: dict[str, str | None],
     denylist_lines: list[str],
     robots: list[tuple],
     default_port: int = 443,
+    parse_paths: bool = False,
 ) -> list[OracleJob]:
     """Replay §3.1: filter -> parse -> resolve -> denylist -> robots."""
     domains, ips, cidrs = classify_denylist_lines(denylist_lines)
@@ -97,8 +112,11 @@ def publish_oracle(
     for line in lines:
         if line.startswith("#") or line == "":
             continue  # TargetFileProvider.java:34-41
-        p = parse_target_py(line, default_port)
-        job = OracleJob(seq=seq, target=line)
+        parse_line, url_path = (
+            _split_path(line) if parse_paths else (line, "/")
+        )
+        p = parse_target_py(parse_line, default_port)
+        job = OracleJob(seq=seq, target=parse_line, url_path=url_path)
         seq += 1
         if p["parse_status"] == "RESOLUTION_ERROR":
             job.status = "RESOLUTION_ERROR"
@@ -117,7 +135,9 @@ def publish_oracle(
             ip = resolved
         job.hostname, job.ip, job.port, job.rank = hostname, ip, port, rank
         job.priority = rank if rank > 0 else UNRANKED_PRIORITY
-        job.url_canon = canonical_key(hostname, ip, port)
+        job.url_canon = canonical_key(hostname, ip, port) + (
+            job.url_path if job.url_path != "/" else ""
+        )
         job.host = hostname if hostname is not None else ip
         # denylist (DenylistFileProvider.java:71-76)
         ipn = ipv4_to_long(ip) if ip else None
@@ -130,17 +150,17 @@ def publish_oracle(
             job.status = "DENYLISTED"
             jobs.append(job)
             continue
-        # robots [EXT]: exact host beats '*', longest prefix wins (path '/')
-        # mirror engine: exact-host and '*' rules both match; exact beats
-        # wildcard, then longest prefix (operators/scheduler.py apply_robots)
+        # robots [EXT]: exact host beats '*', longest prefix wins over
+        # the job's URL path (constant '/' unless parse_paths) — mirrors
+        # operators/scheduler.py apply_robots / robots_match
         candidates = [
             (0, prefix, allow, delay)
             for prefix, allow, delay in robots_by_host.get(job.host, [])
-            if "/".startswith(prefix)
+            if job.url_path.startswith(prefix)
         ] + [
             (1, prefix, allow, delay)
             for prefix, allow, delay in robots_by_host.get("*", [])
-            if "/".startswith(prefix)
+            if job.url_path.startswith(prefix)
         ]
         best = min(candidates, key=lambda c: (c[0], -len(c[1])), default=None)
         if best is not None:

@@ -92,8 +92,8 @@ from crawler_core_spark.storage import CommitConflictError, TableStore
 
 FRONTIER_COLS = [
     "job_id", "bulk_scan_id", "seq", "target", "hostname", "ip", "port",
-    "tranco_rank", "priority", "url_canon", "url_key", "host", "crawl_delay",
-    "attempt", "scan_config",
+    "tranco_rank", "priority", "url_canon", "url_key", "url_path", "host",
+    "crawl_delay", "attempt", "scan_config",
 ]
 
 RESULT_COLS = [
@@ -179,6 +179,7 @@ class CrawlEngine:
         images_bucket_col: str | None = None,
         images_buckets: int | None = None,
         images_id_pushdown_cap: int | None = 100_000,
+        url_paths: bool = False,
     ):
         self.spark = spark
         self.store = store
@@ -219,6 +220,13 @@ class CrawlEngine:
         # cap bounds driver memory and plan size; batches are politeness-
         # bounded so it is rarely exceeded.  None disables.
         self.images_id_pushdown_cap = images_id_pushdown_cap
+        # [EXT] URL-path granularity: seed lines may carry paths; the
+        # frontier's url_path column feeds the general longest-prefix
+        # robots matcher (scheduler.robots_match) at publish and the
+        # seen-key includes the path.  Off by default — the reference's
+        # unit of work is host:port and the constant-root fast path is
+        # zero-shuffle.
+        self.url_paths = bool(url_paths)
         self.step_timings: list[dict] = []  # per-batch driver-step seconds
 
     def _fpart(self) -> Column:
@@ -307,7 +315,10 @@ class CrawlEngine:
         # unguarded len(log()) could be claimed twice).
         commit_base = self.store.commit_count()
         cfg = scan_config or ScanConfig(timeout_ms=self.scan_timeout_ms)
-        routed = parse_and_route(targets, dns, denylist, bulk_scan_id, default_port)
+        routed = parse_and_route(
+            targets, dns, denylist, bulk_scan_id, default_port,
+            parse_paths=self.url_paths,
+        )
 
         # Materialize the parse->dns->denylist pipeline ONCE (it carries a
         # pandas UDF + three joins) via persist(MEMORY_AND_DISK): the two
@@ -335,7 +346,24 @@ class CrawlEngine:
         # count rides the frontier write as an Observation.
         robots_obs = Observation()
         is_queued = F.col("status") == "TO_BE_EXECUTED"
-        aj = apply_robots(all_jobs, robots).observe(
+        if self.url_paths:
+            # URL-path granularity: the general longest-prefix matcher
+            # (distinct (host, path) keys -> one equi-join back; the
+            # rules never BNLJ the frontier).  Costs one keyed shuffle
+            # that the constant-root fast path below avoids.
+            from crawler_core_spark.operators.scheduler import (
+                host_col,
+                robots_match,
+            )
+
+            routed_jobs = robots_match(
+                all_jobs.withColumn("host", host_col()),
+                robots,
+                path_col="url_path",
+            )
+        else:
+            routed_jobs = apply_robots(all_jobs, robots)
+        aj = routed_jobs.observe(
             robots_obs,
             F.count(F.when(is_queued & ~F.col("robots_allow"), 1)).alias("blocked"),
         )

@@ -259,3 +259,87 @@ def test_train_centroids_plan_has_no_sort(spark):
     assert c1 == c2  # deterministic across invocations
     for p in plans:
         assert "Sort" not in p and "TakeOrdered" not in p
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 #2: URL paths through the frontier + robots at URL granularity
+# ---------------------------------------------------------------------------
+
+def test_url_paths_e2e_matches_extended_oracle(spark, tmp_path):
+    import pandas as pd
+
+    from crawler_core_spark import oracle, synth
+    from crawler_core_spark.plans.crawl import CrawlEngine
+    from crawler_core_spark.sources.denylist import load_denylist
+    from crawler_core_spark.sources.dns import dns_table
+    from crawler_core_spark.sources.targets import target_file_df
+
+    hosts = [synth.host_for_image(i) for i in range(6)]
+    lines = [
+        f"{hosts[0]}/docs/a",            # 0: allowed, path-bearing
+        f"{hosts[0]}/docs/b",            # 1: same host, distinct work unit
+        f"https://{hosts[1]}/private/x", # 2: exact-host block rule
+        f"{hosts[1]}/public/y",          # 3: allowed on the same host
+        hosts[2],                        # 4: pathless seed -> '/'
+        f"{hosts[3]}/blocked/z",         # 5: wildcard block rule
+        f"{hosts[4]}/same",              # 6: fetched
+        f"{hosts[4]}/same",              # 7: DEDUPED (same canon incl path)
+    ]
+    rules = [
+        ("*", "/", True, 1.0),
+        ("*", "/blocked", False, 1.0),
+        (hosts[1], "/", True, 1.0),
+        (hosts[1], "/private", False, 1.0),
+    ]
+    dns_map = {h: synth.ip_for_image(i) for i, h in enumerate(hosts)}
+    pdf = pd.DataFrame([synth.make_image_row(i) for i in range(6)])
+
+    store = TableStore(spark, str(tmp_path / "pathwh"))
+    eng = CrawlEngine(spark, store, spark.createDataFrame(pdf), url_paths=True)
+    eng.publish(
+        target_file_df(spark, lines=lines),
+        dns_table(spark, dns_map),
+        load_denylist(spark, lines=[]),
+        spark.createDataFrame(rules, synth.ROBOTS_SCHEMA),
+        "bs-p",
+    )
+    eng.run()
+
+    jobs = oracle.publish_oracle(lines, dns_map, [], rules, parse_paths=True)
+    run = oracle.crawl_oracle(
+        jobs, {r["image_id"]: {"bytes": r["bytes"]} for _, r in pdf.iterrows()}
+    )
+
+    res = {r["seq"]: r for r in store.read("results").collect()}
+    assert {j.seq: j.status for j in run.jobs} == {
+        s: r["status"] for s, r in res.items()
+    }
+    got_order = sorted(
+        (r["seq"], r["crawl_pos"]) for r in res.values()
+        if r["crawl_pos"] is not None
+    )
+    want_order = sorted((j.seq, j.crawl_pos) for j in run.crawl_order)
+    assert got_order == want_order
+    # blocked/allowed set at URL-path granularity (the round-3 gap)
+    blocked = {s for s, r in res.items() if r["status"] == "ROBOTS_BLOCKED"}
+    assert blocked == {2, 5}
+    # distinct paths on one host are distinct units of work / seen keys
+    assert res[0]["status"] == res[1]["status"] == "SUCCESS"
+    assert res[7]["status"] == "DEDUPED"
+    canons = {r["url_canon"] for r in res.values()}
+    assert f"{hosts[0]}:443/docs/a" in canons and f"{hosts[0]}:443/docs/b" in canons
+
+
+def test_pathless_publish_unchanged_by_url_path_column(spark, tmp_path):
+    """Default engines (url_paths=False) still produce the bare host:port
+    canon — the url_path column is a constant '/' that folds away."""
+    from test_round2 import make_engine, small_inputs
+
+    targets, dns, dl, robots, images = small_inputs(spark)
+    eng = make_engine(spark, tmp_path, images, "nopath")
+    eng.publish(targets, dns, dl, robots, "bs-np")
+    fr = eng.store.read("frontier")
+    assert "url_path" in fr.columns
+    rows = fr.select("url_canon", "url_path").distinct().collect()
+    assert all(r["url_path"] == "/" for r in rows)
+    assert all("/" not in r["url_canon"].split(":", 1)[1] for r in rows)
