@@ -92,6 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
     w.add_argument("-parallelConnectionThreads", type=int, default=None,
                    help="accepted for parity; concurrency is owned by "
                         "Spark cores (no-op)")
+    w.add_argument("-maxConflictRetries", type=int, default=3,
+                   help="total optimistic-commit conflicts tolerated before "
+                        "giving up; raise when several workers drain one "
+                        "warehouse concurrently (every conflict means "
+                        "another worker committed, so global progress is "
+                        "guaranteed)")
 
     k = sub.add_parser("compact", help="compact a table's snapshots")
     k.add_argument("-warehouse", required=True)
@@ -230,17 +236,24 @@ def main(argv: list[str] | None = None) -> int:
         # entry, so a plain re-invoke is the correct retry.
         from crawler_core_spark.storage import CommitConflictError
 
-        for attempt in range(3):
+        conflicts = 0
+        while True:
             try:
                 stats = eng.run(max_batches=args.maxBatches, verbose=True)
                 break
             except CommitConflictError as e:
-                print(f"worker: commit conflict (attempt {attempt + 1}/3): {e}")
-        else:
-            raise SystemExit(
-                "worker: repeated commit conflicts — another writer is "
-                "continuously committing to this warehouse's crawl tables"
-            )
+                conflicts += 1
+                print(
+                    f"worker: commit conflict "
+                    f"({conflicts}/{args.maxConflictRetries}): {e}"
+                )
+                if conflicts >= args.maxConflictRetries:
+                    raise SystemExit(
+                        "worker: repeated commit conflicts — another writer "
+                        "is continuously committing to this warehouse's "
+                        "crawl tables (raise -maxConflictRetries for "
+                        "multi-worker drains)"
+                    )
         print(f"worker drained frontier in {len(stats)} batches")
     return 0
 
