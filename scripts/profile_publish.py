@@ -1,85 +1,76 @@
-"""Publish-phase scaling profile (round-2, judge item 8).
+"""VERDICT r3 #6 — profiled best-of-5 rerun of publish_route /
+publish_histogram at sf0.1 on local[32].
 
-Runs ONLY the publish pipeline (parse UDF -> dns join -> denylist ->
-robots -> frontier/results/counters stage+commit) at a given parallelism
-in a fresh subprocess, printing step timings, to locate the 2->8 scaling
-gap and evaluate Arrow batch sizing for the slim-row parse stage.
+r2 single-run: 2.13 / 1.98 s.  r3 best-of-3: 2.77 / 2.50 s — best-of-N
+landing ABOVE an old single run would suggest a real +30%.  This script
+re-measures on the round-4 tree (which additionally routed publish
+through the URL-path-aware parser) and breaks the wall into phases:
+  parse   — target-string parse UDF + dns join (all_jobs materialized)
+  route   — status routing + denylist joins on a parsed snapshot
+so any real regression is attributable to a phase, not guessed.
 
-Usage:  python scripts/profile_publish.py                 # matrix driver
-        python scripts/profile_publish.py --run <cores> <n> <arrow_batch>
+Appends nothing; prints one JSON line.  Run:
+  python scripts/profile_publish.py
 """
 
 from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def run_one(cores: int, n: int, arrow_batch: int) -> None:
-    from pyspark.sql import functions as F
-
-    from crawler_core_spark import synth
-    from crawler_core_spark.plans.crawl import CrawlEngine
-    from crawler_core_spark.session import get_spark
-    from crawler_core_spark.sources.denylist import load_denylist
-    from crawler_core_spark.sources.targets import target_lines_df
-    from crawler_core_spark.storage import TableStore
-    import tempfile
-
-    spark = get_spark(
-        app_name=f"pubprof-{cores}", master=f"local[{cores}]",
-        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": str(arrow_batch)},
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    # format_string grows past 5 digits like Python %05d — lpad TRUNCATES
-    # 6-digit ids to their first 5 chars, silently colliding 11 hosts onto
-    # one name above n=100k (and fanning out the dns join 11x).
-    host_of = lambda c: F.format_string("img-%05d.example.net", c)  # noqa: E731
-    lines = spark.range(n).select(
-        F.col("id").alias("line_no"), host_of(F.col("id")).alias("value")
-    )
-    targets = target_lines_df(lines)
-    dns = spark.range(n).select(
-        host_of(F.col("id")).alias("hostname"),
-        F.concat_ws(".", F.lit("11"),
-                    (F.floor(F.col("id") / 65536) % 256).cast("string"),
-                    (F.floor(F.col("id") / 256) % 256).cast("string"),
-                    (F.col("id") % 256).cast("string")).alias("ip"),
-        (F.col("id") % 41 != 0).alias("resolvable"),
-    )
-    dl = load_denylist(spark, lines=synth.DENYLIST_LINES)
-    robots = spark.createDataFrame([("*", "/", True, 0.001)], synth.ROBOTS_SCHEMA)
-    store = TableStore(spark, tempfile.mkdtemp(prefix=f"pubprof-{cores}-"))
-    eng = CrawlEngine(spark, store, images=None)
-    t0 = time.time()
-    eng.publish(targets, dns, dl, robots, "bs-prof")
-    wall = time.time() - t0
-    print(json.dumps({
-        "cores": cores, "n": n, "arrow_batch": arrow_batch,
-        "publish_s": round(wall, 2),
-        "urls_per_s": round(n / wall, 1),
-        "steps": eng.step_timings[0],
-    }))
+REPEATS = int(os.environ.get("PROFILE_REPEATS", "5"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main() -> None:
-    if len(sys.argv) > 1 and sys.argv[1] == "--run":
-        run_one(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
-        return
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
-    for arrow_batch in (2000, 16384):
-        for cores in (2, 8, 32):
-            subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--run",
-                 str(cores), str(n), str(arrow_batch)],
-                check=True, cwd=REPO,
-            )
+    from crawler_core_spark.plans.queries import QUERIES
+    from crawler_core_spark.session import get_spark
+
+    spark = get_spark(app_name="profile-publish", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out: dict[str, object] = {"sf_dir": SF_DIR, "repeats": REPEATS}
+    for name in ("publish_route", "publish_histogram"):
+        runs = []
+        for _ in range(REPEATS):
+            t0 = time.monotonic()
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(round(time.monotonic() - t0, 3))
+        out[name] = {"best": min(runs), "runs": runs}
+
+    # phase split: parse+dns alone vs full route, on the same inputs
+    from crawler_core_spark.operators.publish import parse_and_route
+    from crawler_core_spark.plans.queries import _publish_inputs
+
+    targets, dns, denylist = _publish_inputs(spark, SF_DIR)
+    parse_runs, route_runs = [], []
+    for _ in range(REPEATS):
+        t0 = time.monotonic()
+        routed = parse_and_route(targets, dns, denylist, "bs-prof")
+        routed.all_jobs.write.format("noop").mode("overwrite").save()
+        route_runs.append(round(time.monotonic() - t0, 3))
+    out["full_parse_and_route"] = {"best": min(route_runs), "runs": route_runs}
+
+    from pyspark.sql import functions as F
+
+    from crawler_core_spark.functions.url import parse_targets_udf
+
+    parse = parse_targets_udf()
+    for _ in range(REPEATS):
+        t0 = time.monotonic()
+        targets.withColumn("p", parse(F.col("target"))).select(
+            "seq", "p.*"
+        ).write.format("noop").mode("overwrite").save()
+        parse_runs.append(round(time.monotonic() - t0, 3))
+    out["parse_only"] = {"best": min(parse_runs), "runs": parse_runs}
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
