@@ -29,8 +29,11 @@ Two paths, one contract (query_id, neighbor_id, sim):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _cosine(a, b):
@@ -137,6 +140,48 @@ def lsh_bucket_topk(
     )
 
 
+def arrow_band_buckets_udf(n_planes: int, n_bands: int, seed: int = 42):
+    """Arrow-vectorized band buckets: array<float> -> array<long> of
+    ``n_bands`` sign-bucket ids in ONE matrix multiply.
+
+    The native ``bucket_col`` keeps everything JVM-side but costs
+    ``n_bands * n_planes * 4`` xxhash evaluations PER VECTOR ELEMENT
+    (expression-tree depth grows with bands x planes); at 16 bands x 3
+    planes that is 192 hash ops per float.  Here the whole banding is
+    ``M (batch x dim) @ planes (dim x bands*planes)`` in numpy — one BLAS
+    call per Arrow batch — with hyperplanes drawn from a Philox
+    counter-based generator keyed ONLY by (seed), so every executor
+    process regenerates identical planes with no driver round-trip, no
+    broadcast, and no dimension knowledge at plan-build time (dim is read
+    from the first batch; planes are cached per process).
+
+    Bucket values differ from the native path's (different plane
+    distribution: true gaussians vs Irwin-Hall sums), so recall/precision
+    quality gates and the ``n_planes=0`` exhaustive-equivalence property
+    are the correctness story — identical to the native variant's.
+    """
+    plane_cache: dict[int, "np.ndarray"] = {}
+
+    @pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        if n_planes == 0 or len(vecs) == 0:
+            zeros = [0] * n_bands
+            return pd.Series([zeros] * len(vecs))
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        dim = M.shape[1]
+        planes = plane_cache.get(dim)
+        if planes is None:
+            rng = np.random.Generator(np.random.Philox(key=np.uint64(seed)))
+            planes = rng.standard_normal((dim, n_bands * n_planes))
+            plane_cache[dim] = planes
+        bits = (M @ planes) >= 0.0  # (batch, n_bands * n_planes)
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        buckets = bits.reshape(len(vecs), n_bands, n_planes) @ weights
+        return pd.Series(list(buckets))
+
+    return _buckets
+
+
 def lsh_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -146,6 +191,7 @@ def lsh_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = 2_000,
+    impl: str = "native",
 ) -> DataFrame:
     """Cosine near-dup PAIR MINING at scale — the 10^10-row path for the
     ``embed_near_dup`` predicate (the all-pairs form is oracle-scale only).
@@ -168,17 +214,28 @@ def lsh_near_dup_pairs(
     ``n_planes=0`` collapses every row into one bucket per band: the
     candidate set is all-pairs and the output EQUALS the exact all-pairs
     form — the driver-oracle twin (`embed_near_dup_lsh_exhaustive`).
+
+    ``impl``: ``"native"`` (default — all-JVM hash-derived planes, the
+    oracle-twin reference) or ``"arrow"`` (one numpy matmul per batch via
+    ``arrow_band_buckets_udf`` — the throughput path when bands x planes
+    is large; same banding/verify machinery downstream).
     """
     base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    banded = base.withColumn(
-        "band", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1)))
-    ).select(
-        "id",
-        "band",
-        bucket_col(
-            F.col("vec"), n_planes, F.xxhash64(F.col("band"), F.lit(seed))
-        ).alias("bucket"),
-    )
+    if impl == "arrow":
+        bucket_fn = arrow_band_buckets_udf(n_planes, n_bands, seed)
+        banded = base.select(
+            "id", F.posexplode(bucket_fn(F.col("vec"))).alias("band", "bucket")
+        )
+    else:
+        banded = base.withColumn(
+            "band", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1)))
+        ).select(
+            "id",
+            "band",
+            bucket_col(
+                F.col("vec"), n_planes, F.xxhash64(F.col("band"), F.lit(seed))
+            ).alias("bucket"),
+        )
     if max_bucket is not None:
         wb = Window.partitionBy("band", "bucket")
         banded = banded.withColumn("_bn", F.count(F.lit(1)).over(wb)).filter(

@@ -973,9 +973,41 @@ def q_embed_near_dup_lsh_exhaustive(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_embed_near_dup_lsh_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``impl="arrow"`` throughput variant of embed_near_dup_lsh: the
+    banding is ONE numpy matmul per Arrow batch instead of
+    bands x planes x 4 xxhash expressions per vector element
+    (operators/ann.py:arrow_band_buckets_udf).  Rows-only (plane values
+    differ from the native path's by design); precision is exact by
+    construction (same exact-verify stage) and the arrow-path exhaustive
+    twin below is the oracle gate for the shared machinery."""
+    from crawler_core_spark.operators.ann import lsh_near_dup_pairs
+
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return lsh_near_dup_pairs(
+        e, threshold=0.4, n_planes=3, n_bands=16, impl="arrow"
+    )
+
+
+def q_embed_near_dup_lsh_arrow_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-path driver-oracle twin: n_planes=0 short-circuits the UDF to
+    one bucket per band, so the full arrow pipeline (pandas UDF ->
+    posexplode -> bucket self-join -> dedup -> vector join-back -> exact
+    verify) must EQUAL the exact all-pairs result."""
+    from crawler_core_spark.operators.ann import lsh_near_dup_pairs
+
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return lsh_near_dup_pairs(
+        e, threshold=0.2, n_planes=0, n_bands=1, max_bucket=None, impl="arrow"
+    )
+
+
 QUERIES["embed_near_dup_lsh"] = q_embed_near_dup_lsh
 QUERIES["embed_near_dup_lsh_exhaustive"] = q_embed_near_dup_lsh_exhaustive
 ORACLE_SQL["embed_near_dup_lsh_exhaustive"] = SQL_EMBED_NEAR_DUP
+QUERIES["embed_near_dup_lsh_arrow"] = q_embed_near_dup_lsh_arrow
+QUERIES["embed_near_dup_lsh_arrow_exhaustive"] = q_embed_near_dup_lsh_arrow_exhaustive
+ORACLE_SQL["embed_near_dup_lsh_arrow_exhaustive"] = SQL_EMBED_NEAR_DUP
 
 
 # DuckDB can compute bit_count(xor(...)) natively, so the banded-Hamming

@@ -255,6 +255,49 @@ def test_lsh_near_dup_pairs_exhaustive_equals_all_pairs(vectors):
         assert s == pytest.approx(want[k], abs=1e-6)
 
 
+def test_lsh_near_dup_pairs_arrow_recall_and_precision(vectors):
+    """impl="arrow" (one numpy matmul per batch instead of bands x planes
+    x 4 xxhash expressions per element) must pass the SAME quality gates:
+    exact precision (shared verify stage) + recall over true pairs."""
+    from crawler_core_spark.operators.ann import lsh_near_dup_pairs
+
+    rows, df = vectors
+    want = _numpy_cos_pairs(rows, 0.9)
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in lsh_near_dup_pairs(
+            df, threshold=0.9, n_planes=6, n_bands=10, max_bucket=None,
+            impl="arrow",
+        ).collect()
+    }
+    assert set(got) <= set(want), set(got) - set(want)
+    recall = len(got) / len(want)
+    assert recall >= 0.8, recall
+    for k, s in got.items():
+        assert s == pytest.approx(want[k], abs=1e-6)
+
+
+def test_lsh_near_dup_pairs_arrow_exhaustive_equals_all_pairs(vectors):
+    """Arrow-path n_planes=0 twin: the UDF short-circuits to one bucket
+    per band, so the full pandas-UDF -> posexplode -> self-join -> verify
+    pipeline must EQUAL the exact all-pairs result (the driver-oracle
+    parameters for embed_near_dup_lsh_arrow_exhaustive)."""
+    from crawler_core_spark.operators.ann import lsh_near_dup_pairs
+
+    rows, df = vectors
+    want = _numpy_cos_pairs(rows, 0.5)
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in lsh_near_dup_pairs(
+            df, threshold=0.5, n_planes=0, n_bands=1, max_bucket=None,
+            impl="arrow",
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k, s in got.items():
+        assert s == pytest.approx(want[k], abs=1e-6)
+
+
 def test_phash_near_dup_brute_force_parity_and_dup_detection(spark):
     """Image-payload visual dedup: banded-Hamming over the corpus phash
     column must EQUAL the brute-force popcount answer (pigeonhole banding
