@@ -93,11 +93,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="accepted for parity; concurrency is owned by "
                         "Spark cores (no-op)")
     w.add_argument("-maxConflictRetries", type=int, default=3,
-                   help="total optimistic-commit conflicts tolerated before "
-                        "giving up; raise when several workers drain one "
-                        "warehouse concurrently (every conflict means "
-                        "another worker committed, so global progress is "
-                        "guaranteed)")
+                   help="retries after a commit conflict before giving up "
+                        "(N retries = N+1 run attempts); raise when several "
+                        "workers drain one warehouse concurrently (every "
+                        "conflict means another worker committed, so global "
+                        "progress is guaranteed)")
 
     k = sub.add_parser("compact", help="compact a table's snapshots")
     k.add_argument("-warehouse", required=True)
@@ -229,33 +229,38 @@ def main(argv: list[str] | None = None) -> int:
                     f"{args.urlSeen}: {existing or '(none)'}"
                 )
             eng = make_engine(seen_table_suffix=args.scanName)
-        # optimistic-concurrency retry (the Iceberg client pattern): a
-        # CommitConflictError means another worker advanced the shared
-        # tables after our state read; eng.run() re-derives clock /
-        # batch_id / offset / frontier from the NOW-committed state on
-        # entry, so a plain re-invoke is the correct retry.
-        from crawler_core_spark.storage import CommitConflictError
-
-        conflicts = 0
-        while True:
-            try:
-                stats = eng.run(max_batches=args.maxBatches, verbose=True)
-                break
-            except CommitConflictError as e:
-                conflicts += 1
-                print(
-                    f"worker: commit conflict "
-                    f"({conflicts}/{args.maxConflictRetries}): {e}"
-                )
-                if conflicts >= args.maxConflictRetries:
-                    raise SystemExit(
-                        "worker: repeated commit conflicts — another writer "
-                        "is continuously committing to this warehouse's "
-                        "crawl tables (raise -maxConflictRetries for "
-                        "multi-worker drains)"
-                    )
+        stats = run_with_conflict_retries(
+            eng, args.maxConflictRetries,
+            max_batches=args.maxBatches, verbose=True,
+        )
         print(f"worker drained frontier in {len(stats)} batches")
     return 0
+
+
+def run_with_conflict_retries(eng, max_retries: int, **run_kwargs):
+    """Optimistic-concurrency retry (the Iceberg client pattern): a
+    CommitConflictError means another worker advanced the shared tables
+    after our state read; ``eng.run()`` re-derives clock / batch_id /
+    offset / frontier from the NOW-committed state on entry, so a plain
+    re-invoke is the correct retry.  ``max_retries`` retries = up to
+    ``max_retries + 1`` run attempts; the (max_retries+1)-th conflict
+    aborts."""
+    from crawler_core_spark.storage import CommitConflictError
+
+    conflicts = 0
+    while True:
+        try:
+            return eng.run(**run_kwargs)
+        except CommitConflictError as e:
+            conflicts += 1
+            print(f"worker: commit conflict ({conflicts}/{max_retries}): {e}")
+            if conflicts > max_retries:
+                raise SystemExit(
+                    "worker: repeated commit conflicts — another writer "
+                    "is continuously committing to this warehouse's "
+                    "crawl tables (raise -maxConflictRetries for "
+                    "multi-worker drains)"
+                )
 
 
 if __name__ == "__main__":

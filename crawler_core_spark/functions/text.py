@@ -240,11 +240,13 @@ def winnow_fingerprints_pandas_df(
 def poly_token_hash_col(tok: Column, k: int = 8, base: int = 31) -> Column:
     """Closed-form polynomial token hash over the first ``k`` chars
     (missing chars contribute 0): sum(code(c_j) * base^(k-1-j)), exact in
-    int64 (max < 2^43 at the defaults — no modulus, no overflow, no
-    engine-specific hash).  Exists so an SQL oracle can reproduce the
-    ENTIRE simhash pipeline exactly (the production path hashes with
-    xxhash64, which DuckDB lacks) — the winnowing-oracle pattern applied
-    to simhash's token hash."""
+    int64 — code() is the full Unicode codepoint (Spark ``ascii`` and
+    DuckDB ``ord`` agree on it, verified up to astral-plane emoji), so at
+    the defaults max < 0x10FFFF * (31^8-1)/30 < 2^55: no modulus, no
+    overflow, no engine-specific hash.  Exists so an SQL oracle can
+    reproduce the ENTIRE simhash pipeline exactly (the production path
+    hashes with xxhash64, which DuckDB lacks) — the winnowing-oracle
+    pattern applied to simhash's token hash."""
     h = F.lit(0).cast("long")
     for j in range(k):
         code = F.when(

@@ -87,6 +87,19 @@ def iceberg_session(
             "no iceberg-spark-runtime jar found; Plan B (storage.TableStore) "
             "is the active storage backend"
         )
+    # spark.jars / spark.sql.extensions / catalog classes only take effect
+    # at JVM construction: getOrCreate against an ALREADY-RUNNING session
+    # silently ignores them and every catalog call dies with
+    # ClassNotFoundException. Fail loudly instead — callers must build the
+    # Iceberg session first (or in a fresh process, as the contract tests
+    # do via subprocess).
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        raise RuntimeError(
+            "iceberg_session must be created before any other SparkSession "
+            "in this process (spark.jars/extensions cannot be applied to a "
+            "running JVM); run Plan-A work in a fresh process"
+        )
     from crawler_core_spark.session import get_spark
 
     return get_spark(

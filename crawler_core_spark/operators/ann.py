@@ -164,20 +164,32 @@ def arrow_band_buckets_udf(n_planes: int, n_bands: int, seed: int = 42):
 
     @pandas_udf("array<long>")
     def _buckets(vecs: pd.Series) -> pd.Series:
+        zeros = [0] * n_bands
         if n_planes == 0 or len(vecs) == 0:
-            zeros = [0] * n_bands
             return pd.Series([zeros] * len(vecs))
-        M = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
-        dim = M.shape[1]
-        planes = plane_cache.get(dim)
-        if planes is None:
-            rng = np.random.Generator(np.random.Philox(key=np.uint64(seed)))
-            planes = rng.standard_normal((dim, n_bands * n_planes))
-            plane_cache[dim] = planes
-        bits = (M @ planes) >= 0.0  # (batch, n_bands * n_planes)
-        weights = (1 << np.arange(n_planes, dtype=np.int64))
-        buckets = bits.reshape(len(vecs), n_bands, n_planes) @ weights
-        return pd.Series(list(buckets))
+        # NULL / empty / ragged-dimension rows must not kill the stage:
+        # mirror the native path (null dot products -> bucket 0, pairs
+        # die later at the exact-verify cosine filter) by bucketing each
+        # dimension group separately and zero-bucketing bad rows.
+        vals = vecs.tolist()
+        result: list = [zeros] * len(vals)
+        groups: dict[int, list[int]] = {}
+        for i, v in enumerate(vals):
+            if v is not None and len(v) > 0:
+                groups.setdefault(len(v), []).append(i)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        for dim, idxs in groups.items():
+            planes = plane_cache.get(dim)
+            if planes is None:
+                rng = np.random.Generator(np.random.Philox(key=np.uint64(seed)))
+                planes = rng.standard_normal((dim, n_bands * n_planes))
+                plane_cache[dim] = planes
+            M = np.asarray([vals[i] for i in idxs], dtype=np.float64)
+            bits = (M @ planes) >= 0.0  # (group, n_bands * n_planes)
+            buckets = bits.reshape(len(idxs), n_bands, n_planes) @ weights
+            for j, i in enumerate(idxs):
+                result[i] = buckets[j]
+        return pd.Series(result)
 
     return _buckets
 
@@ -274,32 +286,28 @@ def train_centroids(
 ):
     """Fit k-means centroids on a deterministic bounded sample.
 
-    Sampled BY HASH, never by rank: rows where ``pmod(xxhash64(id), D)
-    == 0`` with D sized from a count so the expected hit set is ~sample
-    rows — a parallel scan-and-filter with NO shuffle and NO total order
-    (the previous ``orderBy(id).limit(n)`` paid a global ordering for a
-    training sample that only needs determinism).  The collected rows are
-    driver-sorted by id and truncated to ``sample`` for an exactly
-    reproducible set.  One bounded driver fetch — model TRAINING, not a
-    data-path collect; at 10^10 rows the fetch stays ~sample rows.
-    Lloyd iterations in numpy; empty clusters re-seeded from the farthest
-    points.  Returns a plain list[list[float]] (broadcast as literals by
-    the caller).
+    Sampled BY HASH, never by rank: ``orderBy(xxhash64(id), id).limit(n)``
+    — physically TakeOrderedAndProject, ONE parallel scan keeping a
+    per-partition top-n heap plus a driver merge of n rows per partition;
+    no sort shuffle, no total order materialized, and (unlike a
+    ``pmod(hash, D) == 0`` filter) no preparatory ``count()`` pass to
+    size a modulus, so training reads the corpus exactly once.  The hash
+    ordering makes the sample an unbiased deterministic subset (an id
+    prefix would be ingest-order-biased).  One bounded driver fetch —
+    model TRAINING, not a data-path collect; at 10^10 rows the fetch
+    stays ~sample rows.  Lloyd iterations in numpy; empty clusters
+    re-seeded from the farthest points.  Returns a plain
+    list[list[float]] (broadcast as literals by the caller).
     """
     import numpy as np
 
-    n_rows = embeddings.count()
-    # 2x headroom: hash hits are ~Binomial(n, 1/D); D at n/(2*sample)
-    # makes the expected hit count 2*sample, so undershooting the target
-    # after truncation is vanishingly unlikely while the collect stays
-    # O(sample).
-    d = max(1, int(n_rows // (2 * int(sample))))
     rows = (
         embeddings.select(id_col, vec_col)
-        .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(d)) == 0)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(int(sample))
         .collect()
     )
-    rows = sorted(rows, key=lambda r: r[0])[: int(sample)]
+    rows = sorted(rows, key=lambda r: r[0])
     x = np.array([list(r[1]) for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     c = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]

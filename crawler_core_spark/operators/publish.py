@@ -80,10 +80,11 @@ def parse_and_route(
     """
     if parse_paths:
         t = F.col("target")
-        after = F.when(
-            t.contains("//"),
-            F.expr("substring(target, instr(target, '//') + 2)"),
-        ).otherwise(t)
+        # a '//' only denotes a protocol separator when it is a real
+        # '<scheme>://' prefix or a leading protocol-relative '//' —
+        # a path-internal '//' (example.com/a//b) is path content
+        proto = F.regexp_extract(t, r"^([A-Za-z][A-Za-z0-9+.\-]*://|//)", 1)
+        after = t.substr(F.length(proto) + 1, F.length(t))
         raw_path = F.regexp_extract(after, "(/.*)$", 1)
         targets = targets.select(
             "seq",

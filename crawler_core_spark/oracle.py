@@ -12,6 +12,7 @@ sides compute from the same pinned definitions; everything *relational*
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass, field, replace
 
 from crawler_core_spark.functions.url import parse_target_py
@@ -80,9 +81,12 @@ class OracleRun:
 def _split_path(line: str) -> tuple[str, str]:
     """Mirror of the engine's native path split (operators/publish.py,
     parse_paths=True): everything from the first '/' after the authority
-    (protocol '//' skipped) is the path; the stripped remainder feeds the
-    reference parse."""
-    after = line.split("//", 1)[1] if "//" in line else line
+    is the path; the stripped remainder feeds the reference parse.  A
+    '//' only skips as a protocol separator when it is a '<scheme>://'
+    prefix or a leading protocol-relative '//' — path-internal '//' is
+    path content."""
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*://|//)", line)
+    after = line[m.end():] if m else line
     i = after.find("/")
     if i >= 0:
         path = after[i:]

@@ -552,7 +552,13 @@ class CrawlEngine:
             # these tables in between makes our commit raise
             # CommitConflictError rather than resurrect its completed jobs.
             commit_base = self.store.commit_count()
-            frontier = self.store.read("frontier").persist()
+            frontier = self.store.read("frontier")
+            if "url_path" not in frontier.columns:
+                # pre-url_path warehouse (paths were implicitly "/"):
+                # normalize on read so FRONTIER_COLS projections resume
+                # old frontiers instead of dying mid-batch
+                frontier = frontier.withColumn("url_path", F.lit("/"))
+            frontier = frontier.persist()
             if remaining is None:
                 remaining = frontier.count()
             t = self._tick(timings, "frontier_read", t)

@@ -1329,9 +1329,11 @@ def q_doc_simhash_exact_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_twin_sql() -> str:
     """DuckDB oracle for q_doc_simhash_exact_twin, generated from the
-    same closed-form constants (k=8 chars, base 31; max hash < 2^43 so
-    bits 43..63 are identically zero and are omitted from the SQL)."""
-    k, base, nbits = 8, 31, 43
+    same closed-form constants (k=8 chars, base 31; codepoints reach
+    0x10FFFF so max hash < 0x10FFFF*(31^8-1)/30 < 2^55 — bits 55..63 are
+    identically zero and are omitted from the SQL; 43 was the Latin-1
+    bound and broke on any CJK/emoji token)."""
+    k, base, nbits = 8, 31, 55
     poly = " + ".join(
         f"(CASE WHEN length(tok) > {j} THEN ord(substring(tok, {j + 1}, 1)) "
         f"ELSE 0 END) * CAST({base ** (k - 1 - j)} AS BIGINT)"

@@ -257,8 +257,14 @@ def test_train_centroids_plan_has_no_sort(spark):
     finally:
         cls.collect = orig
     assert c1 == c2  # deterministic across invocations
+    # exactly ONE job per training call (no preparatory count() scan) ...
+    assert len(plans) == 2
     for p in plans:
-        assert "Sort" not in p and "TakeOrdered" not in p
+        # ... and that job is TakeOrderedAndProject: per-partition top-n
+        # heap + driver merge, ONE scan, no shuffle, no materialized sort
+        assert "TakeOrderedAndProject" in p, p
+        assert "Exchange" not in p, p
+        assert "\nSort" not in p and "+- Sort" not in p, p
 
 
 # ---------------------------------------------------------------------------
