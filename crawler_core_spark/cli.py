@@ -195,14 +195,24 @@ def main(argv: list[str] | None = None) -> int:
             # targets (the reference starts each scan with a fresh
             # collection); within a scan dedup still applies.
             eng = make_engine(seen_table_suffix=scan_id if runs > 1 else None)
-            bulk = eng.publish(
-                targets, dns, denylist, robots, scan_id,
-                default_port=args.portToBeScanned, scan_config=cfg,
-                monitored=args.monitor, notify_url=args.notifyUrl,
+            # publish carries the same optimistic guard as batch commits:
+            # a worker committing mid-publish raises CommitConflictError,
+            # and a plain re-invoke (state re-read, pub_seq re-derived
+            # from the new base) is the correct retry — without it the
+            # cron loop dies and scans i+1..N are never published
+            bulk = call_with_conflict_retries(
+                lambda: eng.publish(
+                    targets, dns, denylist, robots, scan_id,
+                    default_port=args.portToBeScanned, scan_config=cfg,
+                    monitored=args.monitor, notify_url=args.notifyUrl,
+                ),
+                max_retries=3, label="controller publish",
             )
             print(f"published[{i}]: {bulk}")
-            stats = eng.run(max_batches=args.maxBatches, verbose=True)
-            roll = eng.finalize(scan_id)
+            stats = run_with_conflict_retries(
+                eng, 3, max_batches=args.maxBatches, verbose=True
+            )
+            roll = eng.finalize(scan_id)  # append-only: conflict-free
             print(f"finalized[{i}]: {roll} in {len(stats)} batches")
     else:  # worker
         if args.parallelScanThreads or args.parallelConnectionThreads:
@@ -237,29 +247,62 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def call_with_conflict_retries(fn, max_retries: int, label: str):
+    """Plain retry budget for one-shot guarded commits (publish): the
+    callable re-derives all state on entry — nothing was committed when
+    the conflict raised — so re-invoking is the correct retry."""
+    from crawler_core_spark.storage import CommitConflictError
+
+    attempts = 0
+    while True:
+        try:
+            return fn()
+        except CommitConflictError as e:
+            attempts += 1
+            print(f"{label}: commit conflict (retry {attempts}/{max_retries}): {e}")
+            if attempts > max_retries:
+                raise SystemExit(
+                    f"{label}: repeated commit conflicts — another writer "
+                    "is continuously committing to this warehouse"
+                )
+
+
 def run_with_conflict_retries(eng, max_retries: int, **run_kwargs):
     """Optimistic-concurrency retry (the Iceberg client pattern): a
     CommitConflictError means another worker advanced the shared tables
     after our state read; ``eng.run()`` re-derives clock / batch_id /
     offset / frontier from the NOW-committed state on entry, so a plain
-    re-invoke is the correct retry.  ``max_retries`` retries = up to
-    ``max_retries + 1`` run attempts; the (max_retries+1)-th conflict
-    aborts."""
+    re-invoke is the correct retry.
+
+    The budget counts CONSECUTIVE FRUITLESS attempts, not lifetime
+    conflicts: an attempt that committed batches before losing a race is
+    progress (a long contested two-worker drain loses many races while
+    the drain advances — a lifetime counter would abort it spuriously),
+    so the counter resets whenever the conflicting run reports
+    ``batches_committed > 0``.  ``max_retries`` consecutive fruitless
+    retries = up to ``max_retries + 1`` attempts without progress; one
+    more aborts."""
     from crawler_core_spark.storage import CommitConflictError
 
-    conflicts = 0
+    fruitless = 0
     while True:
         try:
             return eng.run(**run_kwargs)
         except CommitConflictError as e:
-            conflicts += 1
-            print(f"worker: commit conflict ({conflicts}/{max_retries}): {e}")
-            if conflicts > max_retries:
+            if getattr(e, "batches_committed", 0) > 0:
+                fruitless = 0  # the attempt drained batches: progress
+            else:
+                fruitless += 1
+            print(
+                f"worker: commit conflict (fruitless attempt "
+                f"{fruitless} of {max_retries + 1} tolerated): {e}"
+            )
+            if fruitless > max_retries:
                 raise SystemExit(
-                    "worker: repeated commit conflicts — another writer "
-                    "is continuously committing to this warehouse's "
-                    "crawl tables (raise -maxConflictRetries for "
-                    "multi-worker drains)"
+                    "worker: repeated commit conflicts without progress — "
+                    "another writer is continuously committing to this "
+                    "warehouse's crawl tables (raise -maxConflictRetries "
+                    "for heavily contested drains)"
                 )
 
 

@@ -51,7 +51,15 @@ def find_iceberg_jar() -> str | None:
     """
     explicit = os.environ.get("SPARK_GRAFT_ICEBERG_JAR")
     if explicit:
-        return explicit if os.path.exists(explicit) else None
+        # an explicitly-requested jar that is missing is a config error,
+        # not "no jar shipped" — silently degrading to Plan B would make
+        # a path typo invisible (the contract suite would quietly skip)
+        if not os.path.exists(explicit):
+            raise RuntimeError(
+                f"SPARK_GRAFT_ICEBERG_JAR={explicit!r} does not exist; "
+                "fix the path or unset the variable to use Plan B"
+            )
+        return explicit
     jar_dirs = []
     try:
         import pyspark
@@ -93,8 +101,15 @@ def iceberg_session(
     # ClassNotFoundException. Fail loudly instead — callers must build the
     # Iceberg session first (or in a fresh process, as the contract tests
     # do via subprocess).
-    active = SparkSession.getActiveSession()
-    if active is not None:
+    # getActiveSession is THREAD-local — a session built on another
+    # thread would slip past it; SparkContext._active_spark_context is
+    # process-global, so check both.
+    from pyspark import SparkContext
+
+    if (
+        SparkSession.getActiveSession() is not None
+        or SparkContext._active_spark_context is not None
+    ):
         raise RuntimeError(
             "iceberg_session must be created before any other SparkSession "
             "in this process (spark.jars/extensions cannot be applied to a "

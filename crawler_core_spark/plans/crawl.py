@@ -253,9 +253,12 @@ class CrawlEngine:
         ):
             return self.images
         n = int(self.images_buckets or IMAGES_BUCKETS_DEFAULT)
+        # persisted: the per-bucket count job and the (gated) id collect
+        # below both consume it — without the cache the distinct shuffle
+        # over the batch would run twice per crawl-loop iteration
         batch_ids = batch.select(
             image_id_from_host(F.col("host")).alias("i")
-        ).distinct()
+        ).distinct().persist()
         # Driver contract ("driver sees O(1) rows per batch"): the
         # unconditional collect is the per-bucket distinct-id COUNT —
         # <= images_buckets rows regardless of batch size.  The id-level
@@ -278,6 +281,7 @@ class CrawlEngine:
             # capped (<= images_id_pushdown_cap ids) by the check above.
             ids = sorted(r["i"] for r in batch_ids.collect())
             pruned = pruned.filter(F.col("image_id").isin(ids))
+        batch_ids.unpersist()
         return pruned
 
     def _tick(self, timings: dict, label: str, t0: float) -> float:
@@ -902,13 +906,17 @@ class CrawlEngine:
                         "hist": self.store.last_meta("hist"),
                     },
                 )
-            except CommitConflictError:
+            except CommitConflictError as e:
                 # conflict is an EXPECTED flow (the worker CLI retries the
                 # whole run): release this batch's cached frames before
                 # propagating, or each failed attempt pins 5 frames of
                 # batch/frontier state for the rest of the session.
                 for df_ in (dup_rows, hits, fetched, selected, frontier):
                     df_.unpersist()
+                # progress marker for the retry budget: batches THIS run
+                # committed before the conflict (the CLI resets its
+                # consecutive-fruitless-attempt counter when > 0)
+                e.batches_committed = len(stats)
                 raise
 
             t = self._tick(timings, "commit", t)

@@ -220,3 +220,57 @@ def test_conflict_retry_budget_is_retries_not_attempts():
     with pytest.raises(SystemExit):
         run_with_conflict_retries(eng, 2)
     assert eng.attempts == 3
+
+
+class _ProgressingEngine:
+    """Every attempt drains batches before losing its race: progress."""
+
+    def __init__(self, fail_times: int):
+        self.fail_times = fail_times
+        self.attempts = 0
+
+    def run(self, **kw):
+        self.attempts += 1
+        if self.attempts <= self.fail_times:
+            e = CommitConflictError(f"conflict #{self.attempts}")
+            e.batches_committed = 1
+            raise e
+        return ["batch"]
+
+
+def test_conflict_budget_resets_on_progress():
+    """A long contested drain loses many races while advancing — the
+    budget counts CONSECUTIVE FRUITLESS attempts, so conflicts whose run
+    committed batches never accumulate toward the abort."""
+    from crawler_core_spark.cli import run_with_conflict_retries
+
+    eng = _ProgressingEngine(fail_times=10)  # >> max_retries=2
+    assert run_with_conflict_retries(eng, 2) == ["batch"]
+    assert eng.attempts == 11
+
+
+def test_publish_conflict_retry_helper():
+    from crawler_core_spark.cli import call_with_conflict_retries
+
+    calls = {"n": 0}
+
+    def flaky_publish():
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise CommitConflictError("worker won the race")
+        return {"published": True}
+
+    assert call_with_conflict_retries(flaky_publish, 3, "t")["published"]
+    assert calls["n"] == 3
+
+    calls["n"] = -99  # always conflicts
+    with pytest.raises(SystemExit):
+        call_with_conflict_retries(flaky_publish, 1, "t")
+
+
+def test_explicit_iceberg_jar_path_typo_raises(monkeypatch):
+    from crawler_core_spark.iceberg import find_iceberg_jar
+
+    monkeypatch.setenv("SPARK_GRAFT_ICEBERG_JAR", "/no/such/iceberg.jar")
+    with pytest.raises(RuntimeError, match="does not exist"):
+        find_iceberg_jar()
