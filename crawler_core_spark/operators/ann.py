@@ -25,6 +25,16 @@ Two paths, one contract (query_id, neighbor_id, sim):
   -> ``ivf_topk_with_centroids`` — train once offline, probe many, the
   production shape at 10^10 rows (``ivf_topk`` fuses both for the query
   suite).
+- **ivfpq_topk** — IVF + product quantization (Jegou et al. TPAMI 2011,
+  the FAISS-IVFPQ architecture): the probe join carries only (id, cell,
+  ~n_subvectors-byte codes), candidates are ordered by the asymmetric
+  approximate cosine computed FROM THE CODES, and only the top
+  ``rerank`` per query join back to true vectors for exact scoring —
+  at 10^10 rows the working set of the join drops from dim x 4 bytes to
+  a handful of bytes per row.
+- **lsh_near_dup_pairs** — banded sign-LSH PAIR MINING for the
+  embedding near-dup predicate (native expression banding, or
+  ``impl="arrow"``: one numpy matmul per Arrow batch).
 """
 
 from __future__ import annotations
@@ -310,7 +320,13 @@ def train_centroids(
     rows = sorted(rows, key=lambda r: r[0])
     x = np.array([list(r[1]) for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
-    c = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    return _kmeans(x, n_centroids, iters, rng).tolist()
+
+
+def _kmeans(x, k: int, iters: int, rng):
+    """Lloyd's k-means in numpy (driver-side model fit on a bounded
+    sample); empty clusters re-seeded from the farthest point."""
+    c = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
     for _ in range(iters):
         d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
@@ -318,9 +334,9 @@ def train_centroids(
             members = x[assign == j]
             if len(members):
                 c[j] = members.mean(axis=0)
-            else:  # re-seed empty cluster at the farthest point
+            else:
                 c[j] = x[d.min(axis=1).argmax()]
-    return c.tolist()
+    return c
 
 
 def _dot_lit(vec, plane: list[float]):
@@ -470,4 +486,202 @@ def ivf_topk(
     return ivf_topk_with_centroids(
         embeddings, queries, centroids, k=k, n_probe=n_probe,
         id_col=id_col, vec_col=vec_col,
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse inverted-file pruning + product-quantization candidate
+# ordering + exact rerank — the standard 10^10-row ANN architecture
+# (Jegou et al., "Product Quantization for Nearest Neighbor Search",
+# TPAMI 2011; the FAISS IVFPQ index family)
+# ---------------------------------------------------------------------------
+
+def train_pq(
+    embeddings: DataFrame,
+    n_subvectors: int = 4,
+    n_codes: int = 16,
+    sample: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Per-subvector k-means codebooks on the same hash-ordered bounded
+    sample as ``train_centroids`` (one TakeOrderedAndProject scan, driver
+    fit).  Returns ``n_subvectors`` codebooks of ``n_codes`` x ``subdim``
+    centroids (plain lists — broadcast as literals by the encoders).
+    This variant quantizes the raw vector, not the IVF residual — simpler
+    model, same join shape; swap the training input for residuals to get
+    classic IVFADC."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(int(sample))
+        .collect()
+    )
+    rows = sorted(rows, key=lambda r: r[0])
+    x = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % n_subvectors:
+        raise ValueError(
+            f"vector dim {dim} not divisible by n_subvectors={n_subvectors}"
+        )
+    sub = dim // n_subvectors
+    rng = np.random.default_rng(seed)
+    return [
+        _kmeans(x[:, s * sub:(s + 1) * sub], n_codes, iters, rng).tolist()
+        for s in range(n_subvectors)
+    ]
+
+
+def pq_codes_col(vec, codebooks) -> Column:
+    """array<int> of per-subvector nearest-code ids — all native (the
+    same argmax-over-literal-centroids expression as IVF cell
+    assignment, per subvector slice).  At 10^10 rows this encoder runs
+    once at ingest and the (id, cell, codes) projection — ~n_subvectors
+    bytes of payload — is what the probe join ever shuffles."""
+    sub = len(codebooks[0][0])
+    cols = []
+    for s, cb in enumerate(codebooks):
+        vs = F.slice(vec, s * sub + 1, sub)
+        scores = _cell_dists(vs, cb)
+        cols.append((F.array_position(scores, F.array_max(scores)) - 1).cast("int"))
+    return F.array(*cols)
+
+
+def _adc_score(qvec, codes, codebooks) -> Column:
+    """Asymmetric-distance approximation of dot(q, x): per subvector, the
+    dot of the query slice with the candidate's SELECTED code centroid
+    (looked up from the literal codebook array) — O(dim) per pair like an
+    exact dot, but computed from the ~n_subvectors-byte codes, never the
+    candidate's full vector."""
+    sub = len(codebooks[0][0])
+    terms = []
+    for s, cb in enumerate(codebooks):
+        cb_arr = F.array(*[F.array(*[F.lit(float(v)) for v in code]) for code in cb])
+        chosen = F.element_at(cb_arr, F.element_at(codes, s + 1) + 1)
+        qs = F.slice(qvec, s * sub + 1, sub)
+        terms.append(
+            F.aggregate(
+                F.zip_with(qs, chosen, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _pq_recon_norm2(codes, codebooks) -> Column:
+    """|x̃|² of the PQ-reconstructed vector = sum over subvectors of the
+    chosen code centroid's squared norm — a pure literal lookup per code
+    (subvector cross terms are zero: the reconstruction is a
+    concatenation, not a sum)."""
+    out = F.lit(0.0)
+    for s, cb in enumerate(codebooks):
+        norms = F.array(
+            *[F.lit(float(sum(v * v for v in code))) for code in cb]
+        )
+        out = out + F.element_at(norms, F.element_at(codes, s + 1) + 1)
+    return out
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    n_subvectors: int = 4,
+    n_codes: int = 16,
+    rerank: int | None = 64,
+    sample: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ top-k: coarse cells prune the corpus (n_probe of
+    n_centroids), PQ codes order the survivors by approximate dot
+    product, the top ``rerank`` per query join BACK to the true vectors
+    for exact cosine, and the final top-k is exact over that candidate
+    set.
+
+    Scale shape: the probe join carries (neighbor_id, cell, codes) —
+    id + ~n_subvectors bytes per corpus row, NOT the vector; full
+    vectors are touched only for ``rerank`` rows per query (the
+    join-back is a hash join on id against the corpus, pruned to
+    candidates).  ``rerank=None`` disables the PQ cut (every probed
+    candidate is exactly scored) — with ``n_probe=n_centroids`` the
+    result then EQUALS brute force, the driver-oracle twin.
+
+    Like ``ivf_topk`` this fuses train + encode + probe for the query
+    suite; production trains once (``train_centroids`` + ``train_pq``),
+    persists the (id, cell, codes) projection at ingest, and probes
+    many."""
+    centroids = train_centroids(
+        embeddings, n_centroids, sample, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    codebooks = train_pq(
+        embeddings, n_subvectors, n_codes, sample, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cell_scores = _cell_dists(F.col(vec_col), centroids)
+    # the ingest-time projection: id + coarse cell + PQ codes, no vector
+    enc = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        (F.array_position(cell_scores, F.array_max(cell_scores)) - 1)
+        .cast("int").alias("cell"),
+        pq_codes_col(F.col(vec_col), codebooks).alias("codes"),
+    )
+    qs = _cell_dists(F.col("qvec"), centroids)
+    ranked = F.sort_array(
+        F.transform(
+            qs, lambda s, i: F.struct(s.alias("s"), i.cast("int").alias("i"))
+        ),
+        asc=False,
+    )
+    q = queries.select(
+        "query_id",
+        "qvec",
+        F.explode(
+            F.transform(F.slice(ranked, 1, n_probe), lambda x: x["i"])
+        ).alias("cell"),
+    )
+    cand = enc.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    if rerank is not None:
+        # rank by approximate COSINE, not raw dot: the exact metric is
+        # cosine and corpus norms vary, so the ADC dot alone misorders
+        # candidates; |x̃| comes from literal per-code norm lookups
+        # (|q| is constant per query — it cannot change the ordering)
+        approx = _adc_score(F.col("qvec"), F.col("codes"), codebooks) / F.sqrt(
+            F.greatest(_pq_recon_norm2(F.col("codes"), codebooks), F.lit(1e-12))
+        )
+        wa = Window.partitionBy("query_id").orderBy(
+            F.desc("approx"), F.asc("neighbor_id")
+        )
+        cand = (
+            cand.withColumn("approx", approx)
+            .withColumn("_ar", F.row_number().over(wa))
+            .filter(F.col("_ar") <= int(rerank))
+        )
+    # exact rerank: only now touch the true vectors, candidates only
+    vecs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    sims = cand.select("query_id", "qvec", "neighbor_id").join(
+        vecs, "neighbor_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(_cosine(F.col("qvec"), F.col("nvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim")
     )

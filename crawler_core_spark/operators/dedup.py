@@ -64,6 +64,94 @@ def minhash_signatures(
     )
 
 
+def _minhash_banded(
+    sigs: DataFrame, id_col: str, rows_per_band: int, bands: int
+) -> DataFrame:
+    """(id, sig) -> (id, sig, band, band_sig): one row per band, band_sig
+    = hash of that band's signature slice (the LSH bucket key)."""
+    return sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "band_sig",
+        F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            ),
+            F.col("band"),
+        ),
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """Which NEW docs near-duplicate the EXISTING corpus — the ingest-time
+    dedup pass of a training-data pipeline (today's crawl batch vs the
+    10^10-doc reference collection).  Returns (new_id, corpus_id, jaccard)
+    for every cross pair with exact token-set Jaccard >= ``threshold``.
+
+    Scale shape: candidates come from a band-bucket hash join of NEW x
+    CORPUS only — the corpus is NEVER self-joined, and only (id, 8-byte
+    band_sig) rows shuffle.  The corpus signature pass is one-time work:
+    in production persist ``minhash_signatures(corpus)`` (a ~136-byte row
+    per doc at 16 hashes) and feed it here instead of recomputing — the
+    per-batch cost is then O(|new| x bands) plus the bucket join.
+    ``max_bucket`` caps degenerate buckets on the CORPUS side (the big
+    side; a boilerplate bucket of b docs fans every colliding new doc to
+    b candidates).  Verification is exact (token join-back), so precision
+    is 1.0 by construction — banding only affects recall."""
+    rows_per_band = n_hashes // bands
+    nb = _minhash_banded(
+        minhash_signatures(new_docs, id_col, text_col, n_hashes),
+        id_col, rows_per_band, bands,
+    ).select(F.col(id_col).alias("new_id"), "band", "band_sig")
+    cb = _minhash_banded(
+        minhash_signatures(corpus, id_col, text_col, n_hashes),
+        id_col, rows_per_band, bands,
+    ).select(F.col(id_col).alias("corpus_id"), "band", "band_sig")
+    if max_bucket is not None:
+        wb = Window.partitionBy("band", "band_sig")
+        cb = (
+            cb.withColumn("_bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+    cand = nb.join(cb, ["band", "band_sig"]).select("new_id", "corpus_id").distinct()
+    tn = new_docs.select(
+        F.col(id_col).alias("new_id"), F.array_distinct(tokens_col(text_col)).alias("ta")
+    )
+    tc = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.array_distinct(tokens_col(text_col)).alias("tb")
+    )
+    return (
+        cand.join(tn, "new_id")
+        .join(tc, "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("ta", "tb"))
+                / F.size(F.array_union("ta", "tb")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -89,23 +177,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n_hashes)
-    banded = sigs.select(
-        F.col(id_col),
-        F.col("sig"),
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-    ).withColumn(
-        "band_sig",
-        F.xxhash64(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band),
-                    lambda x: x.cast("string"),
-                ),
-            ),
-            F.col("band"),
-        ),
-    )
+    banded = _minhash_banded(sigs, id_col, rows_per_band, bands)
     if max_bucket is not None:
         wb = Window.partitionBy("band", "band_sig")
         banded = (

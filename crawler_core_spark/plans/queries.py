@@ -1259,6 +1259,47 @@ QUERIES["ann_ivf_exhaustive"] = q_ann_ivf_exhaustive
 ORACLE_SQL["ann_ivf_exhaustive"] = SQL_ANN_TOPK
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/ann.py:ivfpq_topk — Jegou et al. TPAMI'11):
+    coarse cells prune, product-quantization codes order survivors from
+    ~n_subvectors bytes per row (the probe join never carries vectors),
+    exact rerank on the top-``rerank`` only.  Rows-only (approximate by
+    construction; pytest pins recall vs brute force); the exhaustive twin
+    below is the oracle gate for the full machinery."""
+    from crawler_core_spark.operators.ann import ivfpq_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivfpq_topk(
+        e, queries, k=10, n_centroids=8, n_probe=3,
+        n_subvectors=4, n_codes=16, rerank=64, sample=1024,
+    )
+
+
+def q_ann_ivfpq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ at n_probe = n_centroids and rerank=None: every cell is
+    probed and every candidate is exactly scored, so training, cell
+    assignment, PQ encoding, the codes-only probe join and the vector
+    join-back all execute and the result must EQUAL brute-force top-k."""
+    from crawler_core_spark.operators.ann import ivfpq_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivfpq_topk(
+        e, queries, k=10, n_centroids=8, n_probe=8,
+        n_subvectors=4, n_codes=16, rerank=None, sample=1024,
+    )
+
+
+QUERIES["ann_ivfpq"] = q_ann_ivfpq
+QUERIES["ann_ivfpq_exhaustive"] = q_ann_ivfpq_exhaustive
+ORACLE_SQL["ann_ivfpq_exhaustive"] = SQL_ANN_TOPK
+
+
 def q_doc_minhash_exact_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH driven at recall-complete parameters: 16 bands of 1 row
     (a pair is a candidate if ANY of its 16 minhashes collide — miss
@@ -1300,6 +1341,58 @@ SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
 
 QUERIES["doc_minhash_exact_twin"] = q_doc_minhash_exact_twin
 ORACLE_SQL["doc_minhash_exact_twin"] = SQL_DOC_MINHASH_EXACT_TWIN
+
+
+def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup: which NEW docs (doc_id in [300, 600)) duplicate
+    the EXISTING corpus (doc_id < 300) — banded NEW x CORPUS bucket join,
+    never corpus x corpus (operators/dedup.py:incremental_minhash_dedup).
+    Production parameters (4 bands x 4 rows, corpus-side bucket cap):
+    rows-only; the exhaustive twin below is the oracle gate."""
+    from crawler_core_spark.operators.dedup import incremental_minhash_dedup
+
+    d = load(spark, sf_dir, "documents")
+    return incremental_minhash_dedup(
+        d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 600)),
+        d.filter(F.col("doc_id") < 300),
+        n_hashes=16, bands=4, threshold=0.8, max_bucket=64,
+    )
+
+
+def q_doc_incremental_dedup_exact_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-complete parameters (16 bands x 1 row — miss probability
+    (1-j)^16 <= 7e-12 at j>=0.8, deterministic hashing => stable on the
+    fixed tables; no cap): the full incremental pipeline (two signature
+    passes, banding, NEW x CORPUS bucket join, exact verify) collapses
+    onto SQL all-CROSS-pairs Jaccard >= 0.8 and runs under the gate."""
+    from crawler_core_spark.operators.dedup import incremental_minhash_dedup
+
+    d = load(spark, sf_dir, "documents")
+    return incremental_minhash_dedup(
+        d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 600)),
+        d.filter(F.col("doc_id") < 300),
+        n_hashes=16, bands=16, threshold=0.8, max_bucket=None,
+    )
+
+
+SQL_DOC_INCREMENTAL_DEDUP = """
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+  FROM documents
+), p AS (
+  SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+         round(CASE WHEN len(list_distinct(list_concat(n.toks, c.toks))) > 0
+               THEN CAST(len(list_intersect(n.toks, c.toks)) AS DOUBLE)
+                    / len(list_distinct(list_concat(n.toks, c.toks)))
+               ELSE 0.0 END, 6) AS jaccard
+  FROM t n JOIN t c ON n.doc_id >= 300 AND n.doc_id < 600 AND c.doc_id < 300
+)
+SELECT new_id, corpus_id, jaccard FROM p WHERE jaccard >= 0.8
+"""
+
+QUERIES["doc_incremental_dedup"] = q_doc_incremental_dedup
+QUERIES["doc_incremental_dedup_exact_twin"] = q_doc_incremental_dedup_exact_twin
+ORACLE_SQL["doc_incremental_dedup_exact_twin"] = SQL_DOC_INCREMENTAL_DEDUP
 
 
 def q_doc_simhash_exact_twin(spark: SparkSession, sf_dir: str) -> DataFrame:

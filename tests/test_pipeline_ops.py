@@ -63,6 +63,37 @@ def test_minhash_lsh_finds_dups_and_exact_jaccard(docs_df):
     assert (0, 2) in pairs or (1, 2) in pairs
 
 
+def test_incremental_dedup_equals_cross_pairs(spark):
+    """incremental_minhash_dedup at recall-complete parameters (1-row
+    bands, no cap) must equal the exact NEW x CORPUS cross pairs — and
+    never report a corpus-internal or new-internal pair."""
+    from crawler_core_spark.operators.dedup import incremental_minhash_dedup
+
+    corpus_rows = [(i, f"shared tokens alpha beta gamma delta doc{i % 3}") for i in range(6)]
+    new_rows = [
+        (100, "shared tokens alpha beta gamma delta doc0"),   # dup of 0/3
+        (101, "totally novel content nothing matches here"),  # no dup
+        (102, "shared tokens alpha beta gamma delta doc1"),   # dup of 1/4
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id: long, text: string")
+    new = spark.createDataFrame(new_rows, "doc_id: long, text: string")
+    got = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in incremental_minhash_dedup(
+            new, corpus, n_hashes=16, bands=16, threshold=0.8, max_bucket=None
+        ).collect()
+    }
+    texts = dict(corpus_rows) | dict(new_rows)
+    want = {
+        (n, c): round(py_jaccard(texts[n], texts[c]), 6)
+        for n, _ in new_rows
+        for c, _ in corpus_rows
+        if py_jaccard(texts[n], texts[c]) >= 0.8
+    }
+    assert got == want
+    assert all(n >= 100 > c for n, c in got)  # cross pairs only
+
+
 def test_simhash_matches_python_reference(spark, docs_df):
     """The native plan (explode -> xxhash64 -> bit-sum aggregates) must
     reproduce the pure-Python simhash math; the per-token hash values come
@@ -196,6 +227,31 @@ def test_ivf_recall_against_brute_force(vectors):
     # in the query's own cluster cell
     assert recall >= 0.7, recall
     # sims are exact cosines wherever both report the pair
+    sims_e = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in exact.collect()}
+    sims_a = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in approx.collect()}
+    for key in e & a:
+        assert sims_e[key] == pytest.approx(sims_a[key], abs=1e-6)
+
+
+def test_ivfpq_recall_against_brute_force(vectors):
+    """IVF-PQ with a REAL rerank cut (PQ-approximate ordering active):
+    recall vs brute force on clustered vectors, exact sims on overlap —
+    the codes-only probe join must not degrade below the IVF gate."""
+    from crawler_core_spark.operators.ann import ivfpq_topk
+
+    _, df = vectors
+    q = df.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = brute_force_topk(df, q, k=5)
+    approx = ivfpq_topk(
+        df, q, k=5, n_centroids=8, n_probe=2,
+        n_subvectors=4, n_codes=8, rerank=20, sample=200,
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, recall
     sims_e = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in exact.collect()}
     sims_a = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in approx.collect()}
     for key in e & a:
