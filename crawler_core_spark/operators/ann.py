@@ -285,6 +285,36 @@ def lsh_near_dup_pairs(
 # IVF (inverted-file) ANN with trained centroids
 # ---------------------------------------------------------------------------
 
+def sample_matrix(
+    embeddings: DataFrame,
+    sample: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic bounded training sample as a numpy matrix.
+
+    Sampled BY HASH, never by rank: ``orderBy(xxhash64(id), id).limit(n)``
+    — physically TakeOrderedAndProject, ONE parallel scan keeping a
+    per-partition top-n heap plus a driver merge of n rows per partition;
+    no sort shuffle, no total order materialized, and (unlike a
+    ``pmod(hash, D) == 0`` filter) no preparatory ``count()`` pass to
+    size a modulus, so sampling reads the corpus exactly once.  The hash
+    ordering makes the sample an unbiased deterministic subset (an id
+    prefix would be ingest-order-biased).  One bounded driver fetch —
+    model TRAINING, not a data-path collect; at 10^10 rows the fetch
+    stays ~sample rows.  Callers that fit several models (IVF cells + PQ
+    codebooks) pass the same matrix to each fit so the corpus is scanned
+    once, not once per model."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(int(sample))
+        .collect()
+    )
+    rows = sorted(rows, key=lambda r: r[0])
+    return np.array([list(r[1]) for r in rows], dtype=np.float64)
+
+
 def train_centroids(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -293,49 +323,40 @@ def train_centroids(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    x=None,
 ):
-    """Fit k-means centroids on a deterministic bounded sample.
-
-    Sampled BY HASH, never by rank: ``orderBy(xxhash64(id), id).limit(n)``
-    — physically TakeOrderedAndProject, ONE parallel scan keeping a
-    per-partition top-n heap plus a driver merge of n rows per partition;
-    no sort shuffle, no total order materialized, and (unlike a
-    ``pmod(hash, D) == 0`` filter) no preparatory ``count()`` pass to
-    size a modulus, so training reads the corpus exactly once.  The hash
-    ordering makes the sample an unbiased deterministic subset (an id
-    prefix would be ingest-order-biased).  One bounded driver fetch —
-    model TRAINING, not a data-path collect; at 10^10 rows the fetch
-    stays ~sample rows.  Lloyd iterations in numpy; empty clusters
-    re-seeded from the farthest points.  Returns a plain
-    list[list[float]] (broadcast as literals by the caller).
-    """
-    import numpy as np
-
-    rows = (
-        embeddings.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-        .limit(int(sample))
-        .collect()
-    )
-    rows = sorted(rows, key=lambda r: r[0])
-    x = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    """Fit k-means centroids on the ``sample_matrix`` sample (``x``: a
+    precollected matrix skips the scan — see ``ivfpq_topk``).  Lloyd
+    iterations in numpy; empty clusters re-seeded from distinct farthest
+    points.  Returns a plain list[list[float]] (broadcast as literals by
+    the caller)."""
+    if x is None:
+        x = sample_matrix(embeddings, sample, id_col, vec_col)
     rng = np.random.default_rng(seed)
     return _kmeans(x, n_centroids, iters, rng).tolist()
 
 
 def _kmeans(x, k: int, iters: int, rng):
     """Lloyd's k-means in numpy (driver-side model fit on a bounded
-    sample); empty clusters re-seeded from the farthest point."""
+    sample); empty clusters re-seeded from DISTINCT farthest points —
+    reseeding them all at the single argmax would hand every empty
+    cluster the SAME point (duplicate centroids, silently shrinking the
+    effective k)."""
     c = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
     for _ in range(iters):
         d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
+        empties = []
         for j in range(len(c)):
             members = x[assign == j]
             if len(members):
                 c[j] = members.mean(axis=0)
             else:
-                c[j] = x[d.min(axis=1).argmax()]
+                empties.append(j)
+        if empties:
+            far = np.argsort(-d.min(axis=1))
+            for idx, j in enumerate(empties):
+                c[j] = x[far[idx % len(x)]]
     return c
 
 
@@ -505,22 +526,18 @@ def train_pq(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    x=None,
 ):
-    """Per-subvector k-means codebooks on the same hash-ordered bounded
-    sample as ``train_centroids`` (one TakeOrderedAndProject scan, driver
-    fit).  Returns ``n_subvectors`` codebooks of ``n_codes`` x ``subdim``
-    centroids (plain lists — broadcast as literals by the encoders).
-    This variant quantizes the raw vector, not the IVF residual — simpler
-    model, same join shape; swap the training input for residuals to get
-    classic IVFADC."""
-    rows = (
-        embeddings.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-        .limit(int(sample))
-        .collect()
-    )
-    rows = sorted(rows, key=lambda r: r[0])
-    x = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    """Per-subvector k-means codebooks on the ``sample_matrix`` sample
+    (``x``: a precollected matrix skips the scan — ``ivfpq_topk`` passes
+    one sample to both the cell and codebook fits so the corpus is
+    scanned once, not twice).  Returns ``n_subvectors`` codebooks of
+    ``n_codes`` x ``subdim`` centroids (plain lists — broadcast as
+    literals by the encoders).  This variant quantizes the raw vector,
+    not the IVF residual — simpler model, same join shape; swap the
+    training input for residuals to get classic IVFADC."""
+    if x is None:
+        x = sample_matrix(embeddings, sample, id_col, vec_col)
     dim = x.shape[1]
     if dim % n_subvectors:
         raise ValueError(
@@ -620,13 +637,9 @@ def ivfpq_topk(
     suite; production trains once (``train_centroids`` + ``train_pq``),
     persists the (id, cell, codes) projection at ingest, and probes
     many."""
-    centroids = train_centroids(
-        embeddings, n_centroids, sample, seed=seed, id_col=id_col, vec_col=vec_col
-    )
-    codebooks = train_pq(
-        embeddings, n_subvectors, n_codes, sample, seed=seed,
-        id_col=id_col, vec_col=vec_col,
-    )
+    x = sample_matrix(embeddings, sample, id_col, vec_col)
+    centroids = train_centroids(embeddings, n_centroids, seed=seed, x=x)
+    codebooks = train_pq(embeddings, n_subvectors, n_codes, seed=seed, x=x)
     cell_scores = _cell_dists(F.col(vec_col), centroids)
     # the ingest-time projection: id + coarse cell + PQ codes, no vector
     enc = embeddings.select(
@@ -656,7 +669,12 @@ def ivfpq_topk(
         # rank by approximate COSINE, not raw dot: the exact metric is
         # cosine and corpus norms vary, so the ADC dot alone misorders
         # candidates; |x̃| comes from literal per-code norm lookups
-        # (|q| is constant per query — it cannot change the ordering)
+        # (|q| is constant per query — it cannot change the ordering).
+        # The window exchange carries ONLY (query_id, neighbor_id,
+        # approx) — qvec/codes are projected away before the shuffle and
+        # qvec is re-joined from the broadcast query set after the cut
+        # (shipping qvec per candidate row would cost dim x 8 bytes per
+        # candidate — the exact weight the codes-only join eliminates).
         approx = _adc_score(F.col("qvec"), F.col("codes"), codebooks) / F.sqrt(
             F.greatest(_pq_recon_norm2(F.col("codes"), codebooks), F.lit(1e-12))
         )
@@ -664,20 +682,27 @@ def ivfpq_topk(
             F.desc("approx"), F.asc("neighbor_id")
         )
         cand = (
-            cand.withColumn("approx", approx)
+            cand.select("query_id", "neighbor_id", approx.alias("approx"))
             .withColumn("_ar", F.row_number().over(wa))
             .filter(F.col("_ar") <= int(rerank))
         )
-    # exact rerank: only now touch the true vectors, candidates only
+    # exact rerank: only now touch the true vectors, candidates only;
+    # qvec comes back from the (broadcast-small) query set, never from
+    # the candidate shuffle
     vecs = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
     )
-    sims = cand.select("query_id", "qvec", "neighbor_id").join(
-        vecs, "neighbor_id"
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.round(_cosine(F.col("qvec"), F.col("nvec")), 6).alias("sim"),
+    # no distinct needed: each corpus row lives in exactly one cell and
+    # each query probes distinct cells, so (query, neighbor) is unique
+    sims = (
+        cand.select("query_id", "neighbor_id")
+        .join(F.broadcast(queries.select("query_id", "qvec")), "query_id")
+        .join(vecs, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("qvec"), F.col("nvec")), 6).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

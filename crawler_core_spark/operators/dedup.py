@@ -88,15 +88,27 @@ def _minhash_banded(
     )
 
 
+def corpus_token_sets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, toks array<string>) verify-stage projection — persist this
+    alongside ``minhash_signatures`` to make incremental dedup O(new)."""
+    return docs.select(
+        F.col(id_col), F.array_distinct(tokens_col(text_col)).alias("toks")
+    )
+
+
 def incremental_minhash_dedup(
     new_docs: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.8,
     max_bucket: int | None = 64,
+    corpus_sigs: DataFrame | None = None,
+    corpus_tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Which NEW docs near-duplicate the EXISTING corpus — the ingest-time
     dedup pass of a training-data pipeline (today's crawl batch vs the
@@ -105,22 +117,35 @@ def incremental_minhash_dedup(
 
     Scale shape: candidates come from a band-bucket hash join of NEW x
     CORPUS only — the corpus is NEVER self-joined, and only (id, 8-byte
-    band_sig) rows shuffle.  The corpus signature pass is one-time work:
-    in production persist ``minhash_signatures(corpus)`` (a ~136-byte row
-    per doc at 16 hashes) and feed it here instead of recomputing — the
-    per-batch cost is then O(|new| x bands) plus the bucket join.
-    ``max_bucket`` caps degenerate buckets on the CORPUS side (the big
-    side; a boilerplate bucket of b docs fans every colliding new doc to
-    b candidates).  Verification is exact (token join-back), so precision
-    is 1.0 by construction — banding only affects recall."""
+    band_sig) rows shuffle.  THE PRODUCTION FORM PASSES PRECOMPUTED
+    PROJECTIONS: ``corpus_sigs`` = a persisted ``minhash_signatures``
+    output (id, sig — ~136 bytes/doc at 16 hashes) and ``corpus_tokens``
+    = a persisted ``corpus_token_sets`` output (id, toks) for the verify
+    join; with both supplied, ``corpus`` is unused and the per-batch cost
+    is O(|new| x bands) plus the bucket join — recomputing either
+    projection from corpus text every batch would make each ingest pass
+    O(corpus), defeating the operator.  ``corpus`` (id, text) alone is
+    the convenience form (oracle twin / ad-hoc use): both projections are
+    derived on the fly.  ``max_bucket`` caps degenerate buckets on the
+    CORPUS side (the big side; a boilerplate bucket of b docs fans every
+    colliding new doc to b candidates).  Verification is exact (token
+    join-back), so precision is 1.0 by construction — banding only
+    affects recall."""
+    if corpus_sigs is None:
+        if corpus is None:
+            raise ValueError("pass corpus (id, text) or corpus_sigs")
+        corpus_sigs = minhash_signatures(corpus, id_col, text_col, n_hashes)
+    if corpus_tokens is None:
+        if corpus is None:
+            raise ValueError("pass corpus (id, text) or corpus_tokens")
+        corpus_tokens = corpus_token_sets(corpus, id_col, text_col)
     rows_per_band = n_hashes // bands
     nb = _minhash_banded(
         minhash_signatures(new_docs, id_col, text_col, n_hashes),
         id_col, rows_per_band, bands,
     ).select(F.col(id_col).alias("new_id"), "band", "band_sig")
     cb = _minhash_banded(
-        minhash_signatures(corpus, id_col, text_col, n_hashes),
-        id_col, rows_per_band, bands,
+        corpus_sigs, id_col, rows_per_band, bands,
     ).select(F.col(id_col).alias("corpus_id"), "band", "band_sig")
     if max_bucket is not None:
         wb = Window.partitionBy("band", "band_sig")
@@ -133,8 +158,8 @@ def incremental_minhash_dedup(
     tn = new_docs.select(
         F.col(id_col).alias("new_id"), F.array_distinct(tokens_col(text_col)).alias("ta")
     )
-    tc = corpus.select(
-        F.col(id_col).alias("corpus_id"), F.array_distinct(tokens_col(text_col)).alias("tb")
+    tc = corpus_tokens.select(
+        F.col(id_col).alias("corpus_id"), F.col("toks").alias("tb")
     )
     return (
         cand.join(tn, "new_id")

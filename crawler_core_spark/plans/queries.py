@@ -1279,10 +1279,13 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivfpq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ at n_probe = n_centroids and rerank=None: every cell is
-    probed and every candidate is exactly scored, so training, cell
-    assignment, PQ encoding, the codes-only probe join and the vector
-    join-back all execute and the result must EQUAL brute-force top-k."""
+    """IVF-PQ at n_probe = n_centroids and rerank >= |corpus|: every cell
+    is probed and the rerank cut keeps every candidate, so training, cell
+    assignment, PQ ENCODING AND ADC SCORING (rerank=None would let
+    Catalyst prune the unused codes column — the approx ordering must
+    stay in the plan for the twin to gate it), the codes-only probe join
+    and the vector join-back all execute and the result must EQUAL
+    brute-force top-k."""
     from crawler_core_spark.operators.ann import ivfpq_topk
 
     e = load(spark, sf_dir, "embeddings")
@@ -1291,7 +1294,7 @@ def q_ann_ivfpq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ivfpq_topk(
         e, queries, k=10, n_centroids=8, n_probe=8,
-        n_subvectors=4, n_codes=16, rerank=None, sample=1024,
+        n_subvectors=4, n_codes=16, rerank=10_000_000, sample=1024,
     )
 
 

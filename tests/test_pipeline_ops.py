@@ -93,6 +93,24 @@ def test_incremental_dedup_equals_cross_pairs(spark):
     assert got == want
     assert all(n >= 100 > c for n, c in got)  # cross pairs only
 
+    # production form: persisted (sigs, token-sets) projections — the
+    # corpus text is never touched — must give the identical result
+    from crawler_core_spark.operators.dedup import (
+        corpus_token_sets,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(corpus, "doc_id", "text", 16)
+    toks = corpus_token_sets(corpus)
+    got2 = {
+        (r["new_id"], r["corpus_id"]): r["jaccard"]
+        for r in incremental_minhash_dedup(
+            new, n_hashes=16, bands=16, threshold=0.8, max_bucket=None,
+            corpus_sigs=sigs, corpus_tokens=toks,
+        ).collect()
+    }
+    assert got2 == want
+
 
 def test_simhash_matches_python_reference(spark, docs_df):
     """The native plan (explode -> xxhash64 -> bit-sum aggregates) must
