@@ -276,6 +276,36 @@ def test_ivfpq_recall_against_brute_force(vectors):
         assert sims_e[key] == pytest.approx(sims_a[key], abs=1e-6)
 
 
+def test_ivfpq_rerank_exchange_is_codes_only(spark):
+    """The PQ rerank cut's ONLY shuffle must carry (query_id,
+    neighbor_id, approx) — never qvec or the codes — and Spark should
+    apply the map-side partial top-k (WindowGroupLimit Partial) BEFORE
+    the exchange.  Also pins that the ADC ordering is in the plan at all
+    (a pruned codes column would silently un-gate the exhaustive twin)."""
+    from crawler_core_spark.operators.ann import ivfpq_topk
+
+    df = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=i) for i in range(8)]).alias("embedding"),
+    )
+    q = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = ivfpq_topk(
+        df, q, k=3, n_centroids=4, n_probe=2,
+        n_subvectors=2, n_codes=4, rerank=10, sample=60,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    ex = [i for i, l in enumerate(lines) if "Exchange hashpartitioning(query_id" in l]
+    assert len(ex) == 1, plan  # one shuffle for the whole rerank+topk
+    child = lines[ex[0] + 1]
+    assert "WindowGroupLimit" in child and "approx" in child, child
+    assert "Partial" in child, child  # map-side top-rerank before the wire
+    assert "qvec" not in child and "codes" not in child, child
+    assert "approx" in plan  # the ADC ordering survived optimization
+
+
 def _numpy_cos_pairs(rows, threshold):
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
