@@ -259,12 +259,15 @@ def call_with_conflict_retries(fn, max_retries: int, label: str):
             return fn()
         except CommitConflictError as e:
             attempts += 1
-            print(f"{label}: commit conflict (retry {attempts}/{max_retries}): {e}")
             if attempts > max_retries:
+                # Budget exceeded: print the abort, not a misleading
+                # "retry 4/3" line for a retry that will never happen.
+                print(f"{label}: commit conflict (budget exhausted): {e}")
                 raise SystemExit(
                     f"{label}: repeated commit conflicts — another writer "
                     "is continuously committing to this warehouse"
                 )
+            print(f"{label}: commit conflict (retry {attempts}/{max_retries}): {e}")
 
 
 def run_with_conflict_retries(eng, max_retries: int, **run_kwargs):
@@ -291,12 +294,16 @@ def run_with_conflict_retries(eng, max_retries: int, **run_kwargs):
         except CommitConflictError as e:
             if getattr(e, "batches_committed", 0) > 0:
                 fruitless = 0  # the attempt drained batches: progress
+                print(
+                    f"worker: conflict after progress (fruitless counter "
+                    f"reset; {e.batches_committed} batches committed): {e}"
+                )
             else:
                 fruitless += 1
-            print(
-                f"worker: commit conflict (fruitless attempt "
-                f"{fruitless} of {max_retries + 1} tolerated): {e}"
-            )
+                print(
+                    f"worker: commit conflict (fruitless attempt "
+                    f"{fruitless} of {max_retries + 1} tolerated): {e}"
+                )
             if fruitless > max_retries:
                 raise SystemExit(
                     "worker: repeated commit conflicts without progress — "

@@ -170,6 +170,12 @@ def arrow_band_buckets_udf(n_planes: int, n_bands: int, seed: int = 42):
     quality gates and the ``n_planes=0`` exhaustive-equivalence property
     are the correctness story — identical to the native variant's.
     """
+    if n_planes > 62:
+        # 1 << 63 overflows int64 to negative: buckets would be garbage
+        # (deterministic garbage, so recall silently degrades instead of
+        # failing loudly).  Sign-LSH past ~32 bits per band is useless
+        # anyway (P(collision) ~ p^n_planes vanishes).
+        raise ValueError(f"n_planes must be <= 62 (int64 bucket ids), got {n_planes}")
     plane_cache: dict[int, "np.ndarray"] = {}
 
     @pandas_udf("array<long>")

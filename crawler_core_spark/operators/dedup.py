@@ -135,6 +135,20 @@ def incremental_minhash_dedup(
         if corpus is None:
             raise ValueError("pass corpus (id, text) or corpus_sigs")
         corpus_sigs = minhash_signatures(corpus, id_col, text_col, n_hashes)
+    else:
+        # Guard the persisted-projection contract LOUDLY: a corpus_sigs
+        # table written with a different n_hashes makes F.slice produce
+        # short/empty band slices, band_sig degenerates, and cross-corpus
+        # recall silently collapses with no error.  One-row sample check
+        # (limit(1) scan of the projection — cheap, no shuffle).
+        sample = corpus_sigs.select(F.size(F.col("sig")).alias("n")).limit(1).collect()
+        if sample and sample[0]["n"] != n_hashes:
+            raise ValueError(
+                f"corpus_sigs signature length {sample[0]['n']} != n_hashes "
+                f"{n_hashes} — the persisted minhash_signatures projection was "
+                "built with a different n_hashes; rebuild it or pass the "
+                "matching n_hashes"
+            )
     if corpus_tokens is None:
         if corpus is None:
             raise ValueError("pass corpus (id, text) or corpus_tokens")

@@ -118,14 +118,16 @@ class ExactUrlSeen:
         self.table = table
         self.dedup_keys = dedup_keys
 
-    def validate_unique(self) -> int:
+    def validate_unique(self, key: str = "url_key") -> int:
         """Debug/validate path: number of DUPLICATED keys in the table
-        (0 == the uniqueness invariant the default probe relies on)."""
+        (0 == the uniqueness invariant the default probe relies on).
+        ``key`` matches probe()'s parameter — validating a table probed
+        under a different key column must check THAT column."""
         if not self.store.exists(self.table):
             return 0
         return (
             self.store.read(self.table)
-            .groupBy("url_key")
+            .groupBy(key)
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") > 1)
             .count()
