@@ -1504,3 +1504,68 @@ SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM wdw
 
 QUERIES["doc_winnow_fingerprint"] = q_doc_winnow_fingerprint
 ORACLE_SQL["doc_winnow_fingerprint"] = SQL_DOC_WINNOW_FINGERPRINT
+
+
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 source (r5): REAL robots.txt TEXT -> rules table, distributed
+    pandas-UDF parse.  Bodies are synthesized deterministically per host
+    (nation) with a decoy UA group, a specific-UA group on every 3rd host
+    (consecutive UA lines, wildcard/comment/empty-Disallow lines,
+    Crawl-delay), and a '*' fallback group with a $-anchored pattern; the
+    oracle constructs the expected rules directly — if the parser mangles
+    grouping, precedence, clipping, or delays, the value hash breaks."""
+    from crawler_core_spark.sources.robots import robots_rules_from_texts
+
+    n = load(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    specific = F.concat(
+        F.lit(
+            "User-agent: TestBot\nUser-agent: megabot\n"
+            "Disallow: /private # members\nAllow: /private/pub\n"
+            "Disallow: /cgi/*.php\nDisallow:\nCrawl-delay: "
+        ),
+        (1 + k % 5).cast("string"),
+    )
+    body = F.concat_ws(
+        "\n",
+        F.lit("# synthetic robots file"),
+        F.lit("User-agent: otherbot\nDisallow: /"),
+        F.when(k % 3 == 0, specific).otherwise(F.lit("")),
+        F.lit("User-agent: *\nDisallow: /tmp\nDisallow: /end$"),
+    )
+    bodies = n.select(
+        F.concat(F.lit("h"), k.cast("string")).alias("host"),
+        body.alias("robots_txt"),
+    )
+    return robots_rules_from_texts(bodies, user_agent="testbot/1.0").select(
+        "host", "path_prefix", "allow",
+        F.round("crawl_delay", 4).alias("crawl_delay"),
+    )
+
+
+SQL_ROBOTS_PARSE = """
+WITH n AS (
+  SELECT n_nationkey AS k, 'h' || n_nationkey AS host FROM nation
+)
+SELECT host, path_prefix, allow, crawl_delay FROM (
+  SELECT host, '/private' AS path_prefix, false AS allow,
+         CAST(1 + (k % 5) AS DOUBLE) AS crawl_delay FROM n WHERE k % 3 = 0
+  UNION ALL
+  SELECT host, '/private/pub', true, CAST(1 + (k % 5) AS DOUBLE)
+  FROM n WHERE k % 3 = 0
+  UNION ALL
+  SELECT host, '/cgi/', false, CAST(1 + (k % 5) AS DOUBLE)
+  FROM n WHERE k % 3 = 0
+  UNION ALL
+  SELECT host, '', true, CAST(1 + (k % 5) AS DOUBLE) FROM n WHERE k % 3 = 0
+  UNION ALL
+  SELECT host, '/tmp', false, 1.0 FROM n WHERE k % 3 <> 0
+  UNION ALL
+  SELECT host, '/end', false, 1.0 FROM n WHERE k % 3 <> 0
+  UNION ALL
+  SELECT host, '', true, 1.0 FROM n WHERE k % 3 <> 0
+)
+"""
+
+QUERIES["robots_parse"] = q_robots_parse
+ORACLE_SQL["robots_parse"] = SQL_ROBOTS_PARSE

@@ -103,3 +103,260 @@ def test_conflict_retry_log_messages(capsys):
     assert "3 batches committed" in out
     assert "fruitless attempt 0" not in out
     assert "fruitless attempt 1" in out
+
+
+# ------------------------------------------------------- robots.txt parser
+
+class TestRobotsParse:
+    """Directive r4-#2: parse real robots.txt text into the rules table."""
+
+    def _p(self, text, ua="testbot"):
+        from crawler_core_spark.sources.robots import parse_robots_text
+
+        return parse_robots_text(text, ua)
+
+    def test_comments_and_blank_lines(self):
+        rules, delay = self._p(
+            "# header comment\n\nUser-agent: *  # trailing\n\n"
+            "Disallow: /a # path comment\n\nAllow: /a/b\n"
+        )
+        assert rules == [("/a", False), ("/a/b", True)]
+        assert delay is None
+
+    def test_specific_group_beats_wildcard_and_is_not_merged(self):
+        rules, delay = self._p(
+            "User-agent: *\nDisallow: /tmp\nCrawl-delay: 9\n"
+            "User-agent: testbot\nDisallow: /private\nCrawl-delay: 2\n"
+        )
+        assert rules == [("/private", False)]  # '*' rules NOT merged in
+        assert delay == 2.0
+
+    def test_longest_agent_token_wins(self):
+        rules, _ = self._p(
+            "User-agent: test\nDisallow: /short\n"
+            "User-agent: testbot\nDisallow: /long\n",
+            ua="testbot-images/1.0",
+        )
+        assert rules == [("/long", False)]
+
+    def test_consecutive_ua_lines_share_one_group(self):
+        rules, _ = self._p(
+            "User-agent: megabot\nUser-agent: testbot\nDisallow: /x\n"
+        )
+        assert rules == [("/x", False)]
+
+    def test_ua_line_after_rules_starts_new_group(self):
+        rules, _ = self._p(
+            "User-agent: testbot\nDisallow: /a\n"
+            "User-agent: otherbot\nDisallow: /b\n"
+        )
+        assert rules == [("/a", False)]
+
+    def test_empty_disallow_is_allow_all(self):
+        rules, delay = self._p("User-agent: testbot\nDisallow:\nAllow:\n")
+        assert rules == []
+        assert delay is None
+
+    def test_crawl_delay_float_and_invalid_ignored(self):
+        _, delay = self._p(
+            "User-agent: testbot\nCrawl-delay: soon\nCrawl-delay: 2.5\n"
+            "Crawl-delay: 7\n"
+        )
+        assert delay == 2.5  # first VALID wins; 'soon' skipped
+
+    def test_case_insensitive_fields_and_ua(self):
+        rules, delay = self._p(
+            "USER-AGENT: TestBot\nDISALLOW: /up\nCRAWL-DELAY: 3\n"
+        )
+        assert rules == [("/up", False)]
+        assert delay == 3.0
+
+    def test_wildcard_and_anchor_clip_to_prefix(self):
+        rules, _ = self._p(
+            "User-agent: testbot\nDisallow: /cgi/*.php\nDisallow: /end$\n"
+            "Disallow: /tail*\nDisallow: *\n"
+        )
+        # trailing-* equivalent; mid-*/$ conservative superset; pure-* dropped
+        assert rules == [("/cgi/", False), ("/end", False), ("/tail", False)]
+
+    def test_rules_before_any_ua_ignored_and_no_colon_lines(self):
+        rules, _ = self._p(
+            "Disallow: /orphan\nnonsense line\nUser-agent: testbot\nDisallow: /x\n"
+        )
+        assert rules == [("/x", False)]
+
+    def test_wildcard_group_fallback(self):
+        rules, delay = self._p(
+            "User-agent: somebot\nDisallow: /a\nUser-agent: *\nDisallow: /w\n",
+            ua="unrelated",
+        )
+        assert rules == [("/w", False)]
+
+    def test_same_specificity_groups_merge(self):
+        rules, delay = self._p(
+            "User-agent: testbot\nDisallow: /a\n"
+            "User-agent: testbot\nDisallow: /b\nCrawl-delay: 4\n"
+        )
+        assert rules == [("/a", False), ("/b", False)]
+        assert delay == 4.0
+
+    def test_empty_or_none_text(self):
+        assert self._p(None) == ([], None)
+        assert self._p("") == ([], None)
+
+
+def test_rows_for_text_baseline_semantics():
+    from crawler_core_spark.sources.robots import _rows_for_text
+
+    # matching group with a delay but no rules: baseline pins the delay
+    assert _rows_for_text("User-agent: testbot\nCrawl-delay: 5\n", "testbot", 1.0) == [
+        ("", True, 5.0)
+    ]
+    # matching group, allow-all empty Disallow only: baseline at default
+    assert _rows_for_text("User-agent: testbot\nDisallow:\n", "testbot", 1.0) == [
+        ("", True, 1.0)
+    ]
+    # no matching group at all -> no rows (global default downstream)
+    assert _rows_for_text("User-agent: otherbot\nDisallow: /\n", "testbot", 1.0) == []
+    # no file -> no rows
+    assert _rows_for_text(None, "testbot", 1.0) == []
+    # rules inherit group delay; baseline appended last
+    assert _rows_for_text(
+        "User-agent: testbot\nDisallow: /p\nCrawl-delay: 2\n", "testbot", 1.0
+    ) == [("/p", False, 2.0), ("", True, 2.0)]
+
+
+def test_robots_rules_from_texts_distributed(spark):
+    """Distributed parse ≡ pure core, rules feed robots_match, and the
+    plan stays Arrow-batched (ArrowEvalPython, never BatchEvalPython)."""
+    from crawler_core_spark.sources.robots import robots_rules_from_texts
+    from crawler_core_spark.operators.scheduler import robots_match
+
+    bodies = spark.createDataFrame(
+        [
+            ("h0", "User-agent: testbot\nDisallow: /private\nAllow: /private/pub\nCrawl-delay: 2"),
+            ("h1", "User-agent: *\nDisallow: /tmp"),
+            ("h2", None),  # no robots.txt fetched
+            ("h3", "User-agent: otherbot\nDisallow: /"),  # no matching group
+        ],
+        "host STRING, robots_txt STRING",
+    )
+    rules = robots_rules_from_texts(bodies, user_agent="testbot")
+    got = {(r.host, r.path_prefix): (r.allow, r.crawl_delay) for r in rules.collect()}
+    assert got == {
+        ("h0", "/private"): (False, 2.0),
+        ("h0", "/private/pub"): (True, 2.0),
+        ("h0", ""): (True, 2.0),
+        ("h1", "/tmp"): (False, 1.0),
+        ("h1", ""): (True, 1.0),
+    }
+    plan = rules._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+    jobs = spark.createDataFrame(
+        [
+            (1, "h0", "/private/x"),
+            (2, "h0", "/private/pub/y"),
+            (3, "h0", "/other"),
+            (4, "h1", "/tmp/z"),
+            (5, "h2", "/anything"),
+            (6, "h3", "/anything"),
+        ],
+        "job_id INT, host STRING, path STRING",
+    )
+    out = {
+        r.job_id: (r.robots_allow, r.crawl_delay)
+        for r in robots_match(jobs, rules, id_col="job_id", path_col="path").collect()
+    }
+    assert out == {
+        1: (False, 2.0),   # /private disallow, group delay
+        2: (True, 2.0),    # longest prefix allow wins
+        3: (True, 2.0),    # baseline: no explicit rule, group delay
+        4: (False, 1.0),
+        5: (True, 1.0),    # no robots.txt: global default
+        6: (True, 1.0),    # no matching group: global default
+    }
+
+
+def test_load_robots_file_s5_shape(spark, tmp_path):
+    from crawler_core_spark.sources.robots import load_robots_file
+
+    p = tmp_path / "robots.txt"
+    p.write_text("User-agent: *\nDisallow: /kb\nCrawl-delay: 1.5\n")
+    df = load_robots_file(spark, "example.com", path=str(p))
+    rows = {(r.path_prefix): (r.allow, r.crawl_delay) for r in df.collect()}
+    assert rows == {"/kb": (False, 1.5), "": (True, 1.5)}
+    empty = load_robots_file(spark, "x.com", lines=["User-agent: nobody", "Disallow: /"])
+    assert empty.count() == 0 and empty.columns == ["host", "path_prefix", "allow", "crawl_delay"]
+
+
+def test_url_paths_e2e_on_parsed_robots_text(spark, tmp_path):
+    """The r4 URL-path E2E rerun with rules PARSED FROM robots.txt TEXT
+    (per-host bodies -> robots_rules_from_texts) instead of a hand-built
+    rules DataFrame: engine results must match the pure-python oracle run
+    on the very same parsed rules, and the path-granular block set must
+    be the known {2, 5}."""
+    import pandas as pd
+
+    from crawler_core_spark import oracle, synth
+    from crawler_core_spark.plans.crawl import CrawlEngine
+    from crawler_core_spark.sources.denylist import load_denylist
+    from crawler_core_spark.sources.dns import dns_table
+    from crawler_core_spark.sources.robots import robots_rules_from_texts
+    from crawler_core_spark.sources.targets import target_file_df
+    from crawler_core_spark.storage import TableStore
+
+    hosts = [synth.host_for_image(i) for i in range(6)]
+    lines = [
+        f"{hosts[0]}/docs/a",            # 0: allowed, path-bearing
+        f"{hosts[0]}/docs/b",            # 1: same host, distinct work unit
+        f"https://{hosts[1]}/private/x", # 2: blocked by hosts[1]'s robots
+        f"{hosts[1]}/public/y",          # 3: allowed on the same host
+        hosts[2],                        # 4: pathless seed -> '/'
+        f"{hosts[3]}/blocked/z",         # 5: blocked by hosts[3]'s robots
+        f"{hosts[4]}/same",              # 6: fetched
+        f"{hosts[4]}/same",              # 7: DEDUPED (same canon incl path)
+    ]
+    base_txt = "# per-host robots\nUser-agent: *\nAllow: /\nDisallow: /blocked\n"
+    bodies = spark.createDataFrame(
+        [
+            (h, base_txt + ("Disallow: /private\n" if h == hosts[1] else ""))
+            for h in hosts
+        ],
+        "host STRING, robots_txt STRING",
+    )
+    rules_df = robots_rules_from_texts(bodies, user_agent="crawler-core-spark")
+    rules = [
+        (r.host, r.path_prefix, r.allow, r.crawl_delay) for r in rules_df.collect()
+    ]
+    dns_map = {h: synth.ip_for_image(i) for i, h in enumerate(hosts)}
+    pdf = pd.DataFrame([synth.make_image_row(i) for i in range(6)])
+
+    store = TableStore(spark, str(tmp_path / "robotstxtwh"))
+    eng = CrawlEngine(spark, store, spark.createDataFrame(pdf), url_paths=True)
+    eng.publish(
+        target_file_df(spark, lines=lines),
+        dns_table(spark, dns_map),
+        load_denylist(spark, lines=[]),
+        rules_df,
+        "bs-rt",
+    )
+    eng.run()
+
+    jobs = oracle.publish_oracle(lines, dns_map, [], rules, parse_paths=True)
+    run = oracle.crawl_oracle(
+        jobs, {r["image_id"]: {"bytes": r["bytes"]} for _, r in pdf.iterrows()}
+    )
+    res = {r["seq"]: r for r in store.read("results").collect()}
+    assert {j.seq: j.status for j in run.jobs} == {
+        s: r["status"] for s, r in res.items()
+    }
+    got_order = sorted(
+        (r["seq"], r["crawl_pos"]) for r in res.values()
+        if r["crawl_pos"] is not None
+    )
+    want_order = sorted((j.seq, j.crawl_pos) for j in run.crawl_order)
+    assert got_order == want_order
+    blocked = {s for s, r in res.items() if r["status"] == "ROBOTS_BLOCKED"}
+    assert blocked == {2, 5}
+    assert res[7]["status"] == "DEDUPED"
