@@ -533,15 +533,22 @@ def train_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     x=None,
+    residual_centroids=None,
 ):
     """Per-subvector k-means codebooks on the ``sample_matrix`` sample
     (``x``: a precollected matrix skips the scan — ``ivfpq_topk`` passes
     one sample to both the cell and codebook fits so the corpus is
     scanned once, not twice).  Returns ``n_subvectors`` codebooks of
     ``n_codes`` x ``subdim`` centroids (plain lists — broadcast as
-    literals by the encoders).  This variant quantizes the raw vector,
-    not the IVF residual — simpler model, same join shape; swap the
-    training input for residuals to get classic IVFADC."""
+    literals by the encoders).
+
+    ``residual_centroids=None`` quantizes the RAW vector; passing the
+    trained IVF cell centroids quantizes the IVF RESIDUAL ``x - c(x)``
+    instead — classic IVFADC (Jegou et al. TPAMI'11 §IV): residuals have
+    the coarse cluster-center component removed, so the same code budget
+    spends its resolution on fine structure and recall improves at
+    identical bytes/row.  Encoders and scorers must then run in residual
+    mode too (``encode_ivfpq`` / ``ivfpq_topk`` ``residual=True``)."""
     if x is None:
         x = sample_matrix(embeddings, sample, id_col, vec_col)
     dim = x.shape[1]
@@ -549,12 +556,60 @@ def train_pq(
         raise ValueError(
             f"vector dim {dim} not divisible by n_subvectors={n_subvectors}"
         )
+    if residual_centroids is not None:
+        c = np.asarray(residual_centroids, dtype=np.float64)
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        x = x - c[d.argmin(axis=1)]
     sub = dim // n_subvectors
     rng = np.random.default_rng(seed)
     return [
         _kmeans(x[:, s * sub:(s + 1) * sub], n_codes, iters, rng).tolist()
         for s in range(n_subvectors)
     ]
+
+
+def _centroid_lits(centroids) -> Column:
+    """array<array<double>> literal of the IVF cell centroids."""
+    return F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+
+
+def encode_ivfpq(
+    embeddings: DataFrame,
+    centroids,
+    codebooks,
+    residual: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The ingest-time projection (neighbor_id, cell, codes): coarse cell
+    assignment + PQ codes, all native expressions.  ``residual=True``
+    codes the IVF residual ``x - c(cell)`` (the codebooks must have been
+    trained with ``residual_centroids`` — IVFADC); the residual is a
+    ``zip_with`` subtract against the row's OWN cell centroid looked up
+    from the literal centroid array, still zero-shuffle, zero-python.
+
+    At 10^10 rows this runs once at ingest; ``save_encoded`` persists the
+    result so probe jobs never touch the vectors except for rerank."""
+    cell_scores = _cell_dists(F.col(vec_col), centroids)
+    cell = (
+        F.array_position(cell_scores, F.array_max(cell_scores)) - 1
+    ).cast("int")
+    out = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        cell.alias("cell"),
+        F.col(vec_col).alias("_v"),
+    )
+    code_input = F.col("_v")
+    if residual:
+        own = F.element_at(_centroid_lits(centroids), F.col("cell") + 1)
+        code_input = F.zip_with(
+            F.col("_v"), own, lambda a, b: a.cast("double") - b
+        )
+    return out.select(
+        "neighbor_id", "cell", pq_codes_col(code_input, codebooks).alias("codes")
+    )
 
 
 def pq_codes_col(vec, codebooks) -> Column:
@@ -611,6 +666,41 @@ def _pq_recon_norm2(codes, codebooks) -> Column:
     return out
 
 
+def _residual_cross_norm2(cell_col, codes, centroids, codebooks) -> Column:
+    """|c|² + 2·(c·r̃) — the centroid contribution to |x̃|² when the codes
+    quantize the RESIDUAL (x̃ = c + r̃, so |x̃|² = |c|² + 2 c·r̃ + |r̃|²).
+    Both terms are literal lookups: |c|² by cell, and c·r̃ from a
+    precomputed per-subvector (cell × code) dot table — n_centroids ×
+    n_codes doubles per subvector baked into the plan, zero per-row
+    vector math."""
+    c2 = F.array(*[F.lit(float(sum(v * v for v in c))) for c in centroids])
+    out = F.element_at(c2, cell_col + 1)
+    sub = len(codebooks[0][0])
+    for s, cb in enumerate(codebooks):
+        tbl = F.array(
+            *[
+                F.array(
+                    *[
+                        F.lit(
+                            2.0
+                            * float(
+                                sum(
+                                    c[s * sub + t] * code[t] for t in range(sub)
+                                )
+                            )
+                        )
+                        for code in cb
+                    ]
+                )
+                for c in centroids
+            ]
+        )
+        out = out + F.element_at(
+            F.element_at(tbl, cell_col + 1), F.element_at(codes, s + 1) + 1
+        )
+    return out
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -624,6 +714,7 @@ def ivfpq_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ top-k: coarse cells prune the corpus (n_probe of
     n_centroids), PQ codes order the survivors by approximate dot
@@ -639,21 +730,45 @@ def ivfpq_topk(
     candidate is exactly scored) — with ``n_probe=n_centroids`` the
     result then EQUALS brute force, the driver-oracle twin.
 
+    ``residual=True`` is classic IVFADC: codebooks quantize the IVF
+    residual (see ``train_pq``) and the approximate ordering adds the
+    per-(query, cell) centroid dot back in — better recall at identical
+    bytes/row.
+
     Like ``ivf_topk`` this fuses train + encode + probe for the query
-    suite; production trains once (``train_centroids`` + ``train_pq``),
-    persists the (id, cell, codes) projection at ingest, and probes
-    many."""
+    suite; production trains once (``train_centroids`` + ``train_pq`` +
+    ``save_pq``), persists the (id, cell, codes) projection at ingest
+    (``save_encoded``), and probes many (``ivfpq_topk_with_models``)."""
     x = sample_matrix(embeddings, sample, id_col, vec_col)
     centroids = train_centroids(embeddings, n_centroids, seed=seed, x=x)
-    codebooks = train_pq(embeddings, n_subvectors, n_codes, seed=seed, x=x)
-    cell_scores = _cell_dists(F.col(vec_col), centroids)
-    # the ingest-time projection: id + coarse cell + PQ codes, no vector
-    enc = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        (F.array_position(cell_scores, F.array_max(cell_scores)) - 1)
-        .cast("int").alias("cell"),
-        pq_codes_col(F.col(vec_col), codebooks).alias("codes"),
+    codebooks = train_pq(
+        embeddings, n_subvectors, n_codes, seed=seed, x=x,
+        residual_centroids=centroids if residual else None,
     )
+    enc = encode_ivfpq(embeddings, centroids, codebooks, residual, id_col, vec_col)
+    return _ivfpq_probe(
+        enc, embeddings, queries, centroids, codebooks,
+        k=k, n_probe=n_probe, rerank=rerank, residual=residual,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def _ivfpq_probe(
+    enc: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids,
+    codebooks,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int | None = 64,
+    residual: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe half shared by the fused and the persisted-model paths:
+    ``enc`` is the (neighbor_id, cell, codes) projection — fresh from
+    ``encode_ivfpq`` or reloaded via ``load_encoded``."""
     qs = _cell_dists(F.col("qvec"), centroids)
     ranked = F.sort_array(
         F.transform(
@@ -668,6 +783,12 @@ def ivfpq_topk(
             F.transform(F.slice(ranked, 1, n_probe), lambda x: x["i"])
         ).alias("cell"),
     )
+    if residual:
+        # per-(query, probed-cell) centroid dot — computed ONCE on the
+        # tiny exploded query frame (n_queries × n_probe rows), carried
+        # through the broadcast, never per candidate
+        qc = F.array(*[_dot_lit(F.col("qvec"), c) for c in centroids])
+        q = q.withColumn("_qc", F.element_at(qc, F.col("cell") + 1))
     cand = enc.join(F.broadcast(q), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -681,9 +802,17 @@ def ivfpq_topk(
         # qvec is re-joined from the broadcast query set after the cut
         # (shipping qvec per candidate row would cost dim x 8 bytes per
         # candidate — the exact weight the codes-only join eliminates).
-        approx = _adc_score(F.col("qvec"), F.col("codes"), codebooks) / F.sqrt(
-            F.greatest(_pq_recon_norm2(F.col("codes"), codebooks), F.lit(1e-12))
-        )
+        # Residual mode (IVFADC): x̃ = c + r̃, so dot(q, x̃) = dot(q, c)
+        # [query-side _qc] + ADC(q, r̃), and |x̃|² gains the literal
+        # |c|² + 2 c·r̃ cross terms.
+        num = _adc_score(F.col("qvec"), F.col("codes"), codebooks)
+        den2 = _pq_recon_norm2(F.col("codes"), codebooks)
+        if residual:
+            num = num + F.col("_qc")
+            den2 = den2 + _residual_cross_norm2(
+                F.col("cell"), F.col("codes"), centroids, codebooks
+            )
+        approx = num / F.sqrt(F.greatest(den2, F.lit(1e-12)))
         wa = Window.partitionBy("query_id").orderBy(
             F.desc("approx"), F.asc("neighbor_id")
         )
@@ -715,4 +844,165 @@ def ivfpq_topk(
         sims.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ model lifecycle (VERDICT r4 #3): train-once / encode-at-ingest /
+# probe-many.  At 10^10 rows the codebooks are fit in an offline job,
+# the (id, cell, codes) projection is written as each ingest batch
+# commits, and probe jobs read ONLY models + projection — the vector
+# column is touched for rerank rows alone.
+# ---------------------------------------------------------------------------
+
+PQ_TABLE = "ann_pq_codebooks"
+PQ_SCHEMA = (
+    "model_id: string, saved_ver: long, subvector: int, code: int, "
+    "centroid: array<double>, residual: boolean"
+)
+ENCODED_TABLE = "ann_pq_encoded"
+
+
+def save_pq(
+    store,
+    codebooks,
+    model_id: str = "ivfpq-default",
+    residual: bool = False,
+    table: str = PQ_TABLE,
+) -> int:
+    """Persist PQ codebooks beside ``save_centroids``; returns the
+    ``saved_ver`` written (pass it to ``save_encoded`` so the projection
+    is pinned to its model generation).  The ``residual`` flag is MODEL
+    METADATA — a probe must know whether codes quantize raw vectors or
+    IVF residuals, so it round-trips with the codebooks instead of being
+    a caller convention.  Same versioning contract as ``save_centroids``:
+    max(saved_ver)+1 (compaction-safe — snapshot_count resets on
+    ``cli compact``), read-max-then-append guarded by ``expected_base``
+    so two concurrent trainers can't both claim a version."""
+    base = store.commit_count()
+    if store.exists(table):
+        prev = (
+            store.read(table)
+            .filter(F.col("model_id") == model_id)
+            .agg(F.max("saved_ver"))
+            .collect()[0][0]
+        )
+        ver = 0 if prev is None else int(prev) + 1
+    else:
+        ver = 0
+    rows = [
+        (model_id, ver, s, i, [float(v) for v in code], bool(residual))
+        for s, cb in enumerate(codebooks)
+        for i, code in enumerate(cb)
+    ]
+    store.write(
+        store.spark.createDataFrame(rows, PQ_SCHEMA),
+        table,
+        mode="append",
+        expected_base=base,
+    )
+    return ver
+
+
+def load_pq(
+    store, model_id: str = "ivfpq-default", table: str = PQ_TABLE
+) -> tuple[list, bool, int]:
+    """Latest codebooks for a model: (codebooks, residual, saved_ver) —
+    a bounded driver fetch of n_subvectors × n_codes rows."""
+    t = store.read(table).filter(F.col("model_id") == model_id)
+    latest = t.agg(F.max("saved_ver")).collect()[0][0]
+    if latest is None:
+        raise KeyError(f"no PQ codebooks saved for model {model_id!r}")
+    rows = (
+        t.filter(F.col("saved_ver") == latest)
+        .orderBy("subvector", "code")
+        .collect()
+    )
+    n_sub = max(r["subvector"] for r in rows) + 1
+    books: list[list] = [[] for _ in range(n_sub)]
+    residual = bool(rows[0]["residual"])
+    for r in rows:
+        books[r["subvector"]].append(list(r["centroid"]))
+    return books, residual, int(latest)
+
+
+def save_encoded(
+    store,
+    embeddings: DataFrame,
+    centroids,
+    codebooks,
+    residual: bool = False,
+    model_id: str = "ivfpq-default",
+    ver: int = 0,
+    table: str = ENCODED_TABLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Encode-at-ingest: append this batch's (id, cell, codes) projection
+    stamped with (model_id, saved_ver).  Plain append — the version was
+    assigned by ``save_pq``, so there is no read-then-write race here
+    (unlike the trainers); concurrent ingest batches append disjoint
+    rows.  Partitioned by cell: a probe of n_probe cells prunes the scan
+    to those directories."""
+    enc = encode_ivfpq(embeddings, centroids, codebooks, residual, id_col, vec_col)
+    return store.commit(
+        {
+            table: (
+                "append",
+                store.stage(
+                    enc.select(
+                        F.lit(model_id).alias("model_id"),
+                        F.lit(int(ver)).cast("long").alias("saved_ver"),
+                        "neighbor_id",
+                        "cell",
+                        "codes",
+                    ),
+                    table,
+                    partition_by=["cell"],
+                ),
+            )
+        }
+    )
+
+
+def load_encoded(
+    store,
+    model_id: str = "ivfpq-default",
+    ver: int | None = None,
+    table: str = ENCODED_TABLE,
+) -> DataFrame:
+    """The persisted projection for (model_id, ver) — ver=None loads the
+    newest generation present.  Lazy DataFrame, no driver fetch; the
+    model_id/saved_ver filters prune on parquet stats."""
+    t = store.read(table).filter(F.col("model_id") == model_id)
+    if ver is None:
+        ver = t.agg(F.max("saved_ver")).collect()[0][0]
+        if ver is None:
+            raise KeyError(f"no encoded rows for model {model_id!r}")
+    return t.filter(F.col("saved_ver") == int(ver)).select(
+        "neighbor_id", "cell", "codes"
+    )
+
+
+def ivfpq_topk_with_models(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids,
+    codebooks,
+    enc: DataFrame,
+    residual: bool = False,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank: int | None = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe-only IVF-PQ: pretrained cells (``load_centroids``) +
+    codebooks (``load_pq``) + persisted projection (``load_encoded``).
+    ``embeddings`` supplies true vectors for the exact rerank only —
+    nothing in the candidate generation touches it."""
+    return _ivfpq_probe(
+        enc, embeddings, queries, centroids, codebooks,
+        k=k, n_probe=n_probe, rerank=rerank, residual=residual,
+        id_col=id_col, vec_col=vec_col,
     )

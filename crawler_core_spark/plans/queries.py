@@ -1569,3 +1569,46 @@ SELECT host, path_prefix, allow, crawl_delay FROM (
 
 QUERIES["robots_parse"] = q_robots_parse
 ORACLE_SQL["robots_parse"] = SQL_ROBOTS_PARSE
+
+
+def q_ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (r5 — Jegou et al. TPAMI'11 §IV): PQ trained on IVF
+    RESIDUALS, approximate ordering = query·centroid + ADC(residual
+    codes) over the corrected |x̃|².  Same probe shape as ann_ivfpq,
+    better recall at identical bytes/row (pytest pins ADC >= raw at the
+    same (n_subvectors, n_codes)).  Rows-only; the exhaustive twin below
+    is the oracle gate."""
+    from crawler_core_spark.operators.ann import ivfpq_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivfpq_topk(
+        e, queries, k=10, n_centroids=8, n_probe=3,
+        n_subvectors=4, n_codes=16, rerank=64, sample=1024, residual=True,
+    )
+
+
+def q_ann_ivfadc_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC at n_probe = n_centroids, rerank >= |corpus|: residual
+    encoding, the query-side centroid dot, the |c|²+2c·r̃ cross-norm
+    lookups and the codes-only join all EXECUTE (a finite rerank keeps
+    the approx ordering in the plan) and the result must EQUAL
+    brute-force top-k."""
+    from crawler_core_spark.operators.ann import ivfpq_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivfpq_topk(
+        e, queries, k=10, n_centroids=8, n_probe=8,
+        n_subvectors=4, n_codes=16, rerank=10_000_000, sample=1024,
+        residual=True,
+    )
+
+
+QUERIES["ann_ivfadc"] = q_ann_ivfadc
+QUERIES["ann_ivfadc_exhaustive"] = q_ann_ivfadc_exhaustive
+ORACLE_SQL["ann_ivfadc_exhaustive"] = SQL_ANN_TOPK

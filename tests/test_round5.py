@@ -360,3 +360,203 @@ def test_url_paths_e2e_on_parsed_robots_text(spark, tmp_path):
     blocked = {s for s, r in res.items() if r["status"] == "ROBOTS_BLOCKED"}
     assert blocked == {2, 5}
     assert res[7]["status"] == "DEDUPED"
+
+
+# ----------------------------------------------- PQ model lifecycle + IVFADC
+
+import numpy as np
+
+
+@pytest.fixture(scope="module")
+def vectors5(spark):
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((4, 16)) * 3
+    rows = [
+        (
+            i,
+            (centers[i % 4] + rng.standard_normal(16) * 0.3)
+            .astype("float32")
+            .tolist(),
+        )
+        for i in range(200)
+    ]
+    return rows, spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+
+def test_pq_model_persistence_roundtrip(spark, vectors5, tmp_path):
+    """Directive r4-#3: save_pq/load_pq mirror the IVF centroid lifecycle —
+    exact roundtrip incl. the residual flag, re-save supersedes by
+    saved_ver, missing model raises."""
+    from crawler_core_spark.operators.ann import (
+        load_pq,
+        save_pq,
+        train_centroids,
+        train_pq,
+    )
+    from crawler_core_spark.storage import TableStore
+
+    _, df = vectors5
+    store = TableStore(spark, str(tmp_path / "pqwh"))
+    cents = train_centroids(df, n_centroids=4, sample=64)
+    cb_raw = train_pq(df, n_subvectors=4, n_codes=8, sample=64)
+    cb_res = train_pq(
+        df, n_subvectors=4, n_codes=8, sample=64, residual_centroids=cents
+    )
+    assert cb_raw != cb_res  # residual training actually changes the model
+
+    v0 = save_pq(store, cb_raw, model_id="m1", residual=False)
+    assert v0 == 0
+    assert load_pq(store, "m1") == (cb_raw, False, 0)
+    v1 = save_pq(store, cb_res, model_id="m1", residual=True)
+    assert v1 == 1
+    assert load_pq(store, "m1") == (cb_res, True, 1)  # latest wins
+    save_pq(store, cb_raw, model_id="m2")
+    assert load_pq(store, "m2")[0] == cb_raw  # other models unaffected
+    with pytest.raises(KeyError):
+        load_pq(store, "nope")
+
+
+def test_pq_ver_safe_vs_compaction(spark, vectors5, tmp_path):
+    """saved_ver must keep increasing across cli-compact (snapshot_count
+    resets there — the r3 centroid bug class)."""
+    from crawler_core_spark.operators.ann import (
+        PQ_TABLE,
+        load_pq,
+        save_pq,
+        train_centroids,
+        train_pq,
+    )
+    from crawler_core_spark.storage import TableStore
+
+    _, df = vectors5
+    store = TableStore(spark, str(tmp_path / "pqcwh"))
+    cents = train_centroids(df, n_centroids=4, sample=64)
+    cb1 = train_pq(df, n_subvectors=2, n_codes=4, sample=64)
+    cb2 = train_pq(df, n_subvectors=2, n_codes=4, sample=32)
+    assert save_pq(store, cb1, model_id="m") == 0
+    store.compact(PQ_TABLE)
+    assert save_pq(store, cb2, model_id="m") == 1
+    assert load_pq(store, "m") == (cb2, False, 1)
+
+
+def test_ivfpq_probe_with_persisted_models_equals_fused(spark, vectors5, tmp_path):
+    """Train-once/encode-at-ingest/probe-many ≡ the fused ivfpq_topk:
+    centroids + codebooks + (id, cell, codes) projection all reloaded
+    from the store, probe touches only models + projection + rerank
+    vectors."""
+    from crawler_core_spark.operators.ann import (
+        encode_ivfpq,
+        ivfpq_topk,
+        ivfpq_topk_with_models,
+        load_centroids,
+        load_encoded,
+        load_pq,
+        sample_matrix,
+        save_centroids,
+        save_encoded,
+        save_pq,
+        train_centroids,
+        train_pq,
+    )
+    from crawler_core_spark.storage import TableStore
+
+    _, df = vectors5
+    q = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    store = TableStore(spark, str(tmp_path / "encwh"))
+    for residual in (False, True):
+        mid = f"m-res{residual}"
+        x = sample_matrix(df, 200)
+        cents = train_centroids(df, n_centroids=8, x=x)
+        cbs = train_pq(
+            df, n_subvectors=4, n_codes=8, x=x,
+            residual_centroids=cents if residual else None,
+        )
+        save_centroids(store, cents, model_id=mid)
+        ver = save_pq(store, cbs, model_id=mid, residual=residual)
+        save_encoded(
+            store, df, cents, cbs, residual=residual, model_id=mid, ver=ver
+        )
+
+        lc = load_centroids(store, mid)
+        lb, lres, lver = load_pq(store, mid)
+        assert (lc, lb, lres, lver) == (cents, cbs, residual, ver)
+        enc = load_encoded(store, mid, ver)
+        fresh = encode_ivfpq(df, cents, cbs, residual)
+        assert sorted(map(tuple, enc.collect())) == sorted(
+            map(tuple, fresh.collect())
+        )
+
+        probed = ivfpq_topk_with_models(
+            df, q, lc, lb, enc, residual=lres, k=5, n_probe=2, rerank=15
+        )
+        fused = ivfpq_topk(
+            df, q, k=5, n_centroids=8, n_probe=2, n_subvectors=4,
+            n_codes=8, rerank=15, sample=200, residual=residual,
+        )
+        assert sorted(map(tuple, probed.collect())) == sorted(
+            map(tuple, fused.collect())
+        )
+
+
+def test_ivfadc_recall_beats_raw_pq_at_same_bytes(spark, vectors5):
+    """Directive r4-#6: residual quantization (IVFADC, Jegou et al.
+    TPAMI'11) must reach >= the raw-vector variant's recall at identical
+    (n_subvectors, n_codes) — the coarse component is removed so the
+    same code budget resolves fine structure.  Exact sims wherever both
+    report a pair (the rerank is exact in both)."""
+    from crawler_core_spark.operators.ann import brute_force_topk, ivfpq_topk
+
+    _, df = vectors5
+    q = df.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = brute_force_topk(df, q, k=5)
+    e = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in exact.collect()}
+    kw = dict(
+        k=5, n_centroids=8, n_probe=2, n_subvectors=4, n_codes=8,
+        rerank=15, sample=200,
+    )
+    raw = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in ivfpq_topk(df, q, residual=False, **kw).collect()
+    }
+    adc = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in ivfpq_topk(df, q, residual=True, **kw).collect()
+    }
+    recall_raw = len(e.keys() & raw.keys()) / len(e)
+    recall_adc = len(e.keys() & adc.keys()) / len(e)
+    assert recall_adc >= recall_raw, (recall_adc, recall_raw)
+    assert recall_adc >= 0.7, recall_adc  # absolute floor at these params
+    for key in e.keys() & adc.keys():
+        assert e[key] == pytest.approx(adc[key], abs=1e-6)
+
+
+def test_save_encoded_partitions_by_cell(spark, vectors5, tmp_path):
+    """The persisted projection is cell-partitioned: a probe of n_probe
+    cells prunes the scan to those directories (PartitionFilters)."""
+    import os
+
+    from crawler_core_spark.operators.ann import (
+        ENCODED_TABLE,
+        load_encoded,
+        sample_matrix,
+        save_encoded,
+        train_centroids,
+        train_pq,
+    )
+    from crawler_core_spark.storage import TableStore
+
+    _, df = vectors5
+    store = TableStore(spark, str(tmp_path / "partwh"))
+    x = sample_matrix(df, 200)
+    cents = train_centroids(df, n_centroids=4, x=x)
+    cbs = train_pq(df, n_subvectors=2, n_codes=4, x=x)
+    save_encoded(store, df, cents, cbs, model_id="m", ver=0)
+    snap = store.table_paths(ENCODED_TABLE)[0]
+    assert any(d.startswith("cell=") for d in os.listdir(snap))
+    pruned = load_encoded(store, "m", 0).filter(F.col("cell") == 1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters")[1][:120], plan
