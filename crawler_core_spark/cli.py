@@ -102,6 +102,25 @@ def build_parser() -> argparse.ArgumentParser:
     k = sub.add_parser("compact", help="compact a table's snapshots")
     k.add_argument("-warehouse", required=True)
     k.add_argument("-table", default="results")
+
+    u = sub.add_parser(
+        "curate",
+        help="resumable curation job over a crawl warehouse: quality gate "
+             "-> exact dedup -> near-dup text edges -> phash visual edges "
+             "-> connected components -> survivors, one atomic commit + "
+             "lineage row per stage (kill-and-resume skips committed "
+             "stages)",
+    )
+    u.add_argument("-warehouse", required=True)
+    u.add_argument("-qualityThreshold", type=float, default=0.35)
+    u.add_argument("-jaccardThreshold", type=float, default=0.8)
+    u.add_argument("-maxHamming", type=int, default=3)
+    u.add_argument("-nHashes", type=int, default=16)
+    u.add_argument("-bands", type=int, default=16)
+    u.add_argument("-maxBucket", type=int, default=64)
+    u.add_argument("-maxStages", type=int, default=None,
+                   help="bound this invocation to N stages (resume later)")
+    u.add_argument("-maxConflictRetries", type=int, default=3)
     return p
 
 
@@ -134,6 +153,29 @@ def main(argv: list[str] | None = None) -> int:
         else:
             cid = store.compact(args.table)
         print(f"compacted {args.table} at commit {cid}")
+        return 0
+
+    if args.command == "curate":
+        from crawler_core_spark.plans.curate import STAGES, CurationEngine
+
+        eng = CurationEngine(
+            spark, store,
+            quality_threshold=args.qualityThreshold,
+            jaccard_threshold=args.jaccardThreshold,
+            max_hamming=args.maxHamming,
+            n_hashes=args.nHashes,
+            bands=args.bands,
+            max_bucket=args.maxBucket,
+        )
+        ran = run_with_conflict_retries(
+            eng, args.maxConflictRetries,
+            max_stages=args.maxStages, verbose=True,
+        )
+        done = eng.stages_done()
+        print(
+            f"curate: ran {len(ran)} stage(s) this invocation; "
+            f"{len(set(done))}/{len(STAGES)} committed total"
+        )
         return 0
 
     images = spark.read.parquet(args.images)

@@ -109,6 +109,8 @@ def incremental_minhash_dedup(
     max_bucket: int | None = 64,
     corpus_sigs: DataFrame | None = None,
     corpus_tokens: DataFrame | None = None,
+    new_sigs: DataFrame | None = None,
+    new_tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Which NEW docs near-duplicate the EXISTING corpus — the ingest-time
     dedup pass of a training-data pipeline (today's crawl batch vs the
@@ -130,7 +132,12 @@ def incremental_minhash_dedup(
     CORPUS side (the big side; a boilerplate bucket of b docs fans every
     colliding new doc to b candidates).  Verification is exact (token
     join-back), so precision is 1.0 by construction — banding only
-    affects recall."""
+    affects recall.
+
+    ``new_sigs`` / ``new_tokens``: callers that ALSO persist this batch's
+    projections (the crawl engine appends them to the corpus tables in the
+    same commit) pass them in so the batch's text is hashed/tokenized
+    once, not once for dedup and once for persistence."""
     if corpus_sigs is None:
         if corpus is None:
             raise ValueError("pass corpus (id, text) or corpus_sigs")
@@ -154,9 +161,10 @@ def incremental_minhash_dedup(
             raise ValueError("pass corpus (id, text) or corpus_tokens")
         corpus_tokens = corpus_token_sets(corpus, id_col, text_col)
     rows_per_band = n_hashes // bands
+    if new_sigs is None:
+        new_sigs = minhash_signatures(new_docs, id_col, text_col, n_hashes)
     nb = _minhash_banded(
-        minhash_signatures(new_docs, id_col, text_col, n_hashes),
-        id_col, rows_per_band, bands,
+        new_sigs, id_col, rows_per_band, bands,
     ).select(F.col(id_col).alias("new_id"), "band", "band_sig")
     cb = _minhash_banded(
         corpus_sigs, id_col, rows_per_band, bands,
@@ -169,8 +177,10 @@ def incremental_minhash_dedup(
             .drop("_bn")
         )
     cand = nb.join(cb, ["band", "band_sig"]).select("new_id", "corpus_id").distinct()
-    tn = new_docs.select(
-        F.col(id_col).alias("new_id"), F.array_distinct(tokens_col(text_col)).alias("ta")
+    if new_tokens is None:
+        new_tokens = corpus_token_sets(new_docs, id_col, text_col)
+    tn = new_tokens.select(
+        F.col(id_col).alias("new_id"), F.col("toks").alias("ta")
     )
     tc = corpus_tokens.select(
         F.col(id_col).alias("corpus_id"), F.col("toks").alias("tb")

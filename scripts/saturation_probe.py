@@ -8,7 +8,13 @@ the ceiling is the box (memory bandwidth / allocator), not Spark, the
 JVM, or the plan — the direct evidence behind BENCH/BASELINE.md's
 single-box-ceiling analysis.
 
-Usage: python scripts/saturation_probe.py [corpus_dir]
+Round 5: also the WEATHER GATE for scaling_bench.py — a north-rule
+scaling leg is only meaningful when the bare kernel itself scales in the
+same window (`probe_ratio()`), otherwise the measurement reports the
+box's contention, not the plan's.  Rows fall back to synthesized corpus
+bytes when no bench corpus is on disk, so the gate needs no prior run.
+
+Usage: python scripts/saturation_probe.py [corpus_dir|--synth]
 """
 
 from __future__ import annotations
@@ -32,6 +38,14 @@ def _load_rows(corpus_dir: str, n: int = 6000) -> list[bytes]:
     return [b.as_py() for b in t.column("bytes") if b.as_py() is not None][:n]
 
 
+def _synth_rows(n: int = 3000) -> list[bytes]:
+    """Deterministic corpus-shaped bytes when no bench corpus exists —
+    same encoder the bench corpus uses (synth.make_image_row)."""
+    from crawler_core_spark import synth
+
+    return [synth.make_image_row(i)["bytes"] for i in range(n)]
+
+
 def _work(args):
     rows, reps = args
     from crawler_core_spark.functions.image import decode_image
@@ -48,20 +62,47 @@ def _work(args):
     return n, time.time() - t0
 
 
+def _measure(rows: list[bytes], w: int) -> float:
+    with mp.get_context("fork").Pool(w) as pool:
+        t0 = time.time()
+        res = pool.map(_work, [(rows, 1)] * w)
+        wall = time.time() - t0
+    return sum(r[0] for r in res) / wall
+
+
+def probe_ratio(corpus_dir: str | None = None, workers=(8, 32)) -> dict:
+    """The weather gate: bare-kernel rows/sec at each worker count plus
+    the N->4N ratio.  A healthy window shows the kernel still gaining
+    from 8 to 32 workers; a saturated bus shows <= ~1.0."""
+    if corpus_dir and os.path.isdir(corpus_dir):
+        rows = _load_rows(corpus_dir)
+        src = corpus_dir
+    else:
+        rows = _synth_rows()
+        src = "synth"
+    out = {"rows_src": src, "probed_at": time.strftime("%Y-%m-%dT%H:%M:%S")}
+    rps = {}
+    for w in workers:
+        rps[w] = _measure(rows, w)
+        out[f"kernel_rps_{w}"] = round(rps[w])
+    lo, hi = min(workers), max(workers)
+    out["kernel_ratio"] = round(rps[hi] / rps[lo], 3)
+    return out
+
+
 def main() -> None:
-    corpus = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_CORPUS
-    rows = _load_rows(corpus)
+    arg = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_CORPUS
+    if arg == "--synth":
+        rows = _synth_rows()
+    else:
+        rows = _load_rows(arg) if os.path.isdir(arg) else _synth_rows()
     out = []
     for w in (1, 2, 4, 8, 16, 32):
-        with mp.get_context("fork").Pool(w) as pool:
-            t0 = time.time()
-            res = pool.map(_work, [(rows, 1)] * w)
-            wall = time.time() - t0
-        total = sum(r[0] for r in res)
+        rps = _measure(rows, w)
         rec = {
             "workers": w,
-            "rows_per_sec": round(total / wall),
-            "per_worker_rows_per_sec": round(total / wall / w),
+            "rows_per_sec": round(rps),
+            "per_worker_rows_per_sec": round(rps / w),
         }
         out.append(rec)
         print(json.dumps(rec))

@@ -560,3 +560,329 @@ def test_save_encoded_partitions_by_cell(spark, vectors5, tmp_path):
     pruned = load_encoded(store, "m", 0).filter(F.col("cell") == 1)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters")[1][:120], plan
+
+
+# -------------------------------------------- incremental dedup in the loop
+
+def _near_dup_inputs(spark):
+    from crawler_core_spark import synth
+    from crawler_core_spark.sources.denylist import load_denylist
+    from crawler_core_spark.sources.dns import dns_table
+    from crawler_core_spark.sources.targets import target_file_df
+
+    hosts = [synth.host_for_image(i) for i in range(4)]
+    # host 0 has three ports: same image -> identical caption fetched in
+    # three DIFFERENT batches (crawl_delay == batch_period -> 1/host/batch)
+    lines = [hosts[0], f"{hosts[0]}:8000", f"{hosts[0]}:8001"] + hosts[1:]
+    targets = target_file_df(spark, lines=lines)
+    dns = dns_table(spark, synth.dns_mappings(4))
+    dl = load_denylist(spark, lines=[])
+    robots = spark.createDataFrame(
+        [("*", "/", True, 2.0)], synth.ROBOTS_SCHEMA
+    )
+    images = spark.createDataFrame(synth.images_pandas(4))
+    return targets, dns, dl, robots, images
+
+
+def _run_near_dup_engine(spark, root, interrupt_after=None):
+    from crawler_core_spark.plans.crawl import CrawlEngine
+    from crawler_core_spark.storage import TableStore
+
+    targets, dns, dl, robots, images = _near_dup_inputs(spark)
+    store = TableStore(spark, root)
+    eng = CrawlEngine(
+        spark, store, images, batch_period=2.0, near_dup_captions=True
+    )
+    eng.publish(targets, dns, dl, robots, "bs-nd")
+    if interrupt_after is not None:
+        eng.run(max_batches=interrupt_after)
+        store = TableStore(spark, root)  # cold resume
+        eng = CrawlEngine(
+            spark, store, images, batch_period=2.0, near_dup_captions=True
+        )
+    eng.run()
+    return eng
+
+
+def test_crawl_loop_incremental_near_dup_lineage(spark, tmp_path):
+    """Directive r4-#4: later batches' caption near-dups of earlier
+    batches are flagged in per-batch lineage counters and the near_dups
+    table, and the corpus projections accumulate atomically with each
+    batch commit."""
+    from crawler_core_spark.plans.crawl import (
+        CORPUS_SIGS_TABLE,
+        CORPUS_TOKENS_TABLE,
+        NEAR_DUP_COUNTERS_TABLE,
+        NEAR_DUPS_TABLE,
+    )
+
+    eng = _run_near_dup_engine(spark, str(tmp_path / "ndwh"))
+    store = eng.store
+
+    counters = {
+        r["batch_id"]: (r["new_docs"], r["near_dup_docs"], r["near_dup_pairs"])
+        for r in store.read(NEAR_DUP_COUNTERS_TABLE).collect()
+    }
+    # batch 0: host0:443 + hosts 1-3 fetched, corpus empty -> no flags
+    assert counters[0] == (4, 0, 0)
+    # batch 1: host0:8000 re-fetches img-00000's caption -> dups batch 0
+    assert counters[1] == (1, 1, 1)
+    # batch 2: host0:8001 -> dups BOTH earlier instances
+    assert counters[2] == (1, 1, 2)
+
+    pairs = store.read(NEAR_DUPS_TABLE).collect()
+    assert {(r["batch_id"],) for r in pairs} == {(1,), (2,)}
+    assert all(r["jaccard"] == 1.0 for r in pairs)
+    assert len([r for r in pairs if r["batch_id"] == 2]) == 2
+
+    # corpus projections: one row per SUCCESS caption, unique by doc_key
+    n_success = store.read("results").filter(F.col("status") == "SUCCESS").count()
+    sigs = store.read(CORPUS_SIGS_TABLE)
+    assert sigs.count() == n_success == 6
+    assert sigs.select("doc_key").distinct().count() == 6
+    assert store.read(CORPUS_TOKENS_TABLE).count() == 6
+
+
+def test_crawl_loop_near_dup_resume_equivalence(spark, tmp_path):
+    """Kill-and-resume with near-dup enabled: the resumed run's corpus
+    projections, counters and flagged pairs equal the uninterrupted
+    run's (the appends ride the atomic batch commit)."""
+    from crawler_core_spark.plans.crawl import (
+        CORPUS_SIGS_TABLE,
+        NEAR_DUP_COUNTERS_TABLE,
+        NEAR_DUPS_TABLE,
+    )
+
+    full = _run_near_dup_engine(spark, str(tmp_path / "full")).store
+    resumed = _run_near_dup_engine(
+        spark, str(tmp_path / "resumed"), interrupt_after=1
+    ).store
+    for table in (NEAR_DUP_COUNTERS_TABLE, NEAR_DUPS_TABLE, CORPUS_SIGS_TABLE):
+        a = sorted(map(tuple, full.read(table).collect()))
+        b = sorted(map(tuple, resumed.read(table).collect()))
+        assert a == b, table
+
+
+def test_near_dup_probe_is_o_new(spark, tmp_path):
+    """The per-batch probe's plan must read ONLY the corpus projection
+    tables — never results (corpus text) or frontier — and hash only the
+    batch's own text: per-ingest-batch cost scales with |new|, not
+    |corpus| (the r4 review-pattern trap)."""
+    eng = _run_near_dup_engine(spark, str(tmp_path / "plnwh"))
+    new_docs = spark.createDataFrame(
+        [(999, "some fresh caption text here")], "doc_key LONG, text STRING"
+    )
+    probe = eng.near_dup_probe(new_docs)
+    # inputFiles() = the exact parquet files the plan scans (plan-string
+    # asserts truncate on long warehouse paths)
+    files = probe.inputFiles()
+    assert any("/corpus_sigs/" in f for f in files), files
+    assert any("/corpus_token_sets/" in f for f in files), files
+    assert not any("/results/" in f for f in files), files
+    assert not any("/frontier/" in f for f in files), files
+    assert {f for f in files if "/corpus" not in f} == set(), files
+
+
+# ------------------------------------------------ resumable curation engine
+
+CLUSTER_BASE = (
+    "quick brown fox jumps over lazy dog near riverbank during sunny "
+    "morning walk"
+)
+
+
+def _curation_images(spark):
+    """12 images whose captions/bytes exercise every curation stage:
+    0-2 near-dup text cluster, 3-4 exact dup, 5-6 identical bytes (phash
+    dup) with unrelated captions, 7 all-stopwords (quality-gated out),
+    8-11 singletons."""
+    import pandas as pd
+
+    from crawler_core_spark import synth
+
+    rows = [synth.make_image_row(i) for i in range(12)]
+    caps = {
+        0: CLUSTER_BASE + " alpha",
+        1: CLUSTER_BASE + " beta",
+        2: CLUSTER_BASE + " gamma",
+        3: "identical caption text written once for exact duplicate detection",
+        4: "identical caption text written once for exact duplicate detection",
+        5: "photo shows mountain lake scene with pine trees reflected",
+        6: "painting depicts ocean sunset with sailing boats offshore",
+        7: "the a of and to the a of and to",
+        8: "solitary lighthouse stands on rocky northern coastline cliffs",
+        9: "vintage bicycle leans against red brick wall downtown",
+        10: "children fly colorful kites across windy autumn meadow",
+        11: "chef plates seasonal vegetables in busy restaurant kitchen",
+    }
+    for i, r in enumerate(rows):
+        r["caption"] = caps[i]
+    # 6 shares 5's exact bytes -> identical decoded phash (visual dup)
+    for f in ("bytes", "w", "h", "fmt", "phash"):
+        rows[6][f] = rows[5][f]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def _curation_warehouse(spark, root):
+    from crawler_core_spark import synth
+    from crawler_core_spark.plans.crawl import CrawlEngine
+    from crawler_core_spark.sources.denylist import load_denylist
+    from crawler_core_spark.sources.dns import dns_table
+    from crawler_core_spark.sources.targets import target_file_df
+    from crawler_core_spark.storage import TableStore
+
+    hosts = [synth.host_for_image(i) for i in range(12)]
+    store = TableStore(spark, root)
+    eng = CrawlEngine(spark, store, _curation_images(spark))
+    eng.publish(
+        target_file_df(spark, lines=hosts),
+        dns_table(spark, synth.dns_mappings(12)),
+        load_denylist(spark, lines=[]),
+        spark.createDataFrame([("*", "/", True, 1.0)], synth.ROBOTS_SCHEMA),
+        "bs-cur",
+    )
+    eng.run()
+    return store
+
+
+# max_hamming=0: the synthetic gradient images are ALL within hamming<=3
+# of each other (shared gradient dominates the phash) — only identical
+# decoded bytes should edge in this fixture
+CURATE_KW = dict(quality_threshold=0.08, jaccard_threshold=0.8, max_hamming=0)
+
+
+def _one_shot_survivors(spark, store):
+    from crawler_core_spark.plans.curate import curation_one_shot
+
+    docs = (
+        store.read("results")
+        .filter((F.col("status") == "SUCCESS") & F.col("result_caption").isNotNull())
+        .select(
+            F.xxhash64(F.col("url_canon")).alias("doc_key"),
+            F.col("result_caption").alias("text"),
+            F.col("result_phash").alias("phash"),
+        )
+    )
+    return sorted(
+        map(tuple, curation_one_shot(docs, **CURATE_KW).collect())
+    )
+
+
+def test_curate_engine_stages_lineage_and_one_shot_parity(spark, tmp_path):
+    """Directive r4-#1: the staged engine's survivor set equals the
+    one-shot pipeline semantics over the same warehouse; every stage
+    commits a lineage row with consistent in/out counts."""
+    from crawler_core_spark.plans.curate import (
+        LINEAGE_TABLE,
+        STAGES,
+        SURVIVORS_TABLE,
+        CurationEngine,
+    )
+
+    store = _curation_warehouse(spark, str(tmp_path / "curwh"))
+    eng = CurationEngine(spark, store, **CURATE_KW)
+    ran = eng.run(verbose=True)
+    assert ran == STAGES
+    assert eng.stages_done() == STAGES
+    assert eng.run() == []  # idempotent: everything committed
+
+    got = sorted(map(tuple, store.read(SURVIVORS_TABLE).collect()))
+    assert got == _one_shot_survivors(spark, store)
+    # structure: 12 fetched, 1 quality-gated, 1 exact-dropped; clusters
+    # {0,1,2} text and {5,6} phash collapse -> 7 survivors
+    assert len(got) == 7
+    assert sorted(r[1] for r in got) == [1, 1, 1, 1, 1, 2, 3]
+
+    lin = {r["stage"]: (r["rows_in"], r["rows_out"])
+           for r in store.read(LINEAGE_TABLE).collect()}
+    assert lin["quality"] == (12, 11)      # doc 7 gated out
+    assert lin["exact"] == (11, 10)        # doc 4 exact-dropped
+    assert lin["near"] == (10, 3)          # cluster {0,1,2} pairs
+    assert lin["phash"] == (10, 1)         # pair (5,6)
+    assert lin["components"] == (10, 10)   # every kept doc labeled
+    assert lin["survivors"] == (10, 7)
+
+
+def test_curate_kill_and_resume_equivalence(spark, tmp_path):
+    """Killed after 2 stages, a cold-resumed engine skips the committed
+    stages and the final survivor set is identical to the uninterrupted
+    run's."""
+    from crawler_core_spark.plans.curate import (
+        STAGES,
+        SURVIVORS_TABLE,
+        CurationEngine,
+    )
+
+    store = _curation_warehouse(spark, str(tmp_path / "curwh2"))
+    eng = CurationEngine(spark, store, **CURATE_KW)
+    assert eng.run(max_stages=2) == STAGES[:2]
+    # cold resume: brand-new engine over the committed store
+    eng2 = CurationEngine(spark, store, **CURATE_KW)
+    assert eng2.run() == STAGES[2:]
+    got = sorted(map(tuple, store.read(SURVIVORS_TABLE).collect()))
+    assert got == _one_shot_survivors(spark, store)
+
+
+def test_curate_commit_conflict_guard(spark, tmp_path):
+    """A concurrent writer committing to a curation table between a
+    stage's state read and its commit raises CommitConflictError (with
+    the progress marker for the CLI retry budget); a plain re-run
+    completes and still matches the one-shot semantics."""
+    from crawler_core_spark.plans.curate import (
+        EXACT_TABLE,
+        SURVIVORS_TABLE,
+        CurationEngine,
+    )
+    from crawler_core_spark.storage import CommitConflictError, TableStore
+
+    store = _curation_warehouse(spark, str(tmp_path / "curwh3"))
+    eng = CurationEngine(spark, store, **CURATE_KW)
+
+    intruder = TableStore(spark, store.root)
+    original_commit = store.commit
+    state = {"fired": False}
+
+    def hijacked(staged, meta=None, expected_base=None):
+        if not state["fired"] and EXACT_TABLE in staged:
+            state["fired"] = True
+            intruder.write(
+                spark.createDataFrame([(1, 1)], "doc_key: long, group_n: long"),
+                EXACT_TABLE,
+                mode="append",
+            )
+        return original_commit(staged, meta=meta, expected_base=expected_base)
+
+    store.commit = hijacked
+    with pytest.raises(CommitConflictError) as ei:
+        eng.run()
+    store.commit = original_commit
+    assert ei.value.batches_committed == 1  # quality committed, exact lost
+
+    # re-run: quality skipped, exact re-derived from fresh state, done
+    eng2 = CurationEngine(spark, store, **CURATE_KW)
+    ran = eng2.run()
+    assert ran[0] == "exact"
+    got = sorted(map(tuple, store.read(SURVIVORS_TABLE).collect()))
+    assert got == _one_shot_survivors(spark, store)
+
+
+def test_cli_curate_command(spark, tmp_path):
+    """The spark-submit surface: `curate -warehouse ...` drains all six
+    stages with conflict retries and resumes via -maxStages."""
+    from crawler_core_spark.cli import main
+    from crawler_core_spark.plans.curate import STAGES, SURVIVORS_TABLE, CurationEngine
+    from crawler_core_spark.storage import TableStore
+
+    root = str(tmp_path / "curcli")
+    _curation_warehouse(spark, root)
+    args = [
+        "curate", "-warehouse", root,
+        "-qualityThreshold", "0.08", "-jaccardThreshold", "0.8",
+        "-maxHamming", "0",  # synth gradient phashes all within hamming<=3
+    ]
+    assert main(args + ["-maxStages", "2"]) == 0
+    store = TableStore(spark, root)
+    assert CurationEngine(spark, store).stages_done() == STAGES[:2]
+    assert main(args) == 0
+    assert CurationEngine(spark, store).stages_done() == STAGES
+    assert store.read(SURVIVORS_TABLE).count() == 7
