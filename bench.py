@@ -20,11 +20,18 @@ this VM, and the per-round BENCH record is a single driver invocation —
 two legs with min-wall selection recovers the plan-shape signal the
 same way the query loop does.  All leg values are reported.
 
+The cc_stress leg (BENCH_CC_STRESS=1, default on) runs connected
+components over a 10^6-node CHAIN — the adversarial shape for label
+propagation (diameter = n; naive propagation would need 10^6 rounds) —
+and records round count + per-round shuffled edge volume, asserting the
+O(log diameter) round bound holds at bench scale.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      BENCH_FRONTIER_URLS (default 120000),
      BENCH_QUERY_REPEATS (default 3),
-     BENCH_CRAWL_REPEATS (default 2).
+     BENCH_CRAWL_REPEATS (default 2),
+     BENCH_CC_STRESS (default 1), BENCH_CC_EDGES (default 1000000).
 """
 
 from __future__ import annotations
@@ -67,24 +74,54 @@ def main() -> None:
         q_times[name] = round(best, 3)
     total = round(sum(q_times.values()) + crawl["wall_s"], 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "frontier_urls_per_sec",
-                "value": round(crawl["urls_per_sec"], 1),
-                "unit": "sec",
-                "queries": q_times,
-                "sf": sf,
-                "crawl_wall_s": round(crawl["wall_s"], 2),
-                "crawl_wall_s_legs": [round(c["wall_s"], 2) for c in legs],
-                "crawl_urls": crawl["urls_processed"],
-                "crawl_batches": crawl["batches"],
-                "total_sec": total,
-                "cpus": int(cpus),
-                "query_repeats": repeats,
-            }
+    out = {
+        "metric": "frontier_urls_per_sec",
+        "value": round(crawl["urls_per_sec"], 1),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": sf,
+        "crawl_wall_s": round(crawl["wall_s"], 2),
+        "crawl_wall_s_legs": [round(c["wall_s"], 2) for c in legs],
+        "crawl_urls": crawl["urls_processed"],
+        "crawl_batches": crawl["batches"],
+        "total_sec": total,
+        "cpus": int(cpus),
+        "query_repeats": repeats,
+    }
+
+    if os.environ.get("BENCH_CC_STRESS", "1") == "1":
+        import math
+
+        from pyspark.sql import functions as F
+
+        from crawler_core_spark.operators.components import connected_components
+
+        n_edges = int(os.environ.get("BENCH_CC_EDGES", "1000000"))
+        edges = spark.range(n_edges).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
         )
-    )
+        stats: dict = {}
+        t0 = time.time()
+        cc = connected_components(edges, stats=stats)
+        n_comp = cc.select("component").distinct().count()
+        cc_wall = time.time() - t0
+        assert n_comp == 1, n_comp  # one chain, one component
+        # O(log diameter) contract: a diameter-n chain must converge in
+        # ~log2(n) rounds (+1 fixpoint-confirm, + slack), NOT O(n)
+        bound = int(math.log2(n_edges)) + 6
+        assert stats["rounds"] <= bound, (stats["rounds"], bound)
+        out["cc_stress"] = {
+            "edges": n_edges,
+            "wall_s": round(cc_wall, 2),
+            "rounds": stats["rounds"],
+            "round_bound": bound,
+            # per-round shuffle volume == the round's edge count; for the
+            # chain it stays O(n) flat while the diameter collapses
+            "max_edges_per_round": max(stats["edges_per_round"]),
+            "last_edges_per_round": stats["edges_per_round"][-1],
+        }
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

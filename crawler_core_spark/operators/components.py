@@ -66,11 +66,18 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 64,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, component) for every node INCIDENT TO AN EDGE; component is
     the minimum id in the node's connected component.  Ids must be
     integral (hash string ids to int64 first — xxhash64 — as every
-    miner in this package already does for shuffle keys)."""
+    miner in this package already does for shuffle keys).
+
+    ``stats``: pass a dict to receive {"rounds": r, "edges_per_round":
+    [...]} — the per-round edge count IS the round's shuffle volume
+    (every round shuffles the current edge set twice: the groupBy-min
+    and the join), so the list pins both convergence and exchange cost
+    at zero extra jobs (the counts ride the existing convergence probe)."""
     # static guard: a non-integral id column (string doc ids, doubles)
     # would cast to NULL with ANSI off, silently dropping EVERY edge and
     # reporting all nodes as singletons — fail loudly on the driver instead.
@@ -90,6 +97,8 @@ def connected_components(
         .distinct()
     )
     prev = None
+    rounds = 0
+    edges_per_round: list[int] = []
     for _ in range(max_iter):
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         e = _small_star(_large_star(sym)).localCheckpoint(eager=True)
@@ -99,6 +108,8 @@ def connected_components(
             # overflow (a sum of xxhash64 longs overflows int64)
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),
         ).collect()[0]
+        rounds += 1
+        edges_per_round.append(int(probe["n"]))
         cur = (probe["n"], probe["h"])
         if cur == prev:
             break
@@ -109,6 +120,9 @@ def connected_components(
         # near-dup chain) converges slower than the average-case bound,
         # and 25 rounds was reachable for valid inputs at 10^10 nodes.
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["edges_per_round"] = edges_per_round
     # converged edge set is a star forest: every edge is (member, root)
     labels = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
     roots = (

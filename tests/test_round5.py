@@ -886,3 +886,29 @@ def test_cli_curate_command(spark, tmp_path):
     assert main(args) == 0
     assert CurationEngine(spark, store).stages_done() == STAGES
     assert store.read(SURVIVORS_TABLE).count() == 7
+
+
+# ------------------------------------------- components stress instrumentation
+
+def test_connected_components_stats_and_chain_round_bound(spark):
+    """Directive r4-#7 (small-scale pin; bench.py runs the 10^6 leg): a
+    diameter-n chain converges in O(log n) rounds — never O(n) — and the
+    per-round shuffled edge volume stays O(n)."""
+    import math
+
+    from crawler_core_spark.operators.components import connected_components
+
+    n = 4096  # chain diameter 4096; naive propagation would need 4096 rounds
+    edges = spark.range(n).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    stats = {}
+    cc = connected_components(edges, stats=stats)
+    assert cc.select("component").distinct().count() == 1
+    assert cc.count() == n + 1  # every chain node labeled
+    assert stats["rounds"] <= int(math.log2(n)) + 6, stats["rounds"]
+    assert len(stats["edges_per_round"]) == stats["rounds"]
+    # shuffle volume: each round's edge set is O(n), never quadratic
+    assert max(stats["edges_per_round"]) <= 2 * n, stats["edges_per_round"]
+    # converged star forest: one root, n member edges
+    assert stats["edges_per_round"][-1] == n
