@@ -352,9 +352,12 @@ class CrawlEngine:
             F.col("result_caption").alias("text"),
         )
         # terminal SUCCESS url_keys are unique across the crawl (URL-seen
-        # + in-batch dedup), so corpus_sigs stays unique by doc_key
-        sigs = minhash_signatures(new_docs, "doc_key", "text", cfg["n_hashes"])
-        toks = corpus_token_sets(new_docs, "doc_key", "text")
+        # + in-batch dedup), so corpus_sigs stays unique by doc_key.
+        # persist both projections: each is consumed twice (inside the
+        # probe's candidate/verify plans AND by its own corpus-table
+        # stage write) — without the cache the batch minhash runs twice.
+        sigs = minhash_signatures(new_docs, "doc_key", "text", cfg["n_hashes"]).persist()
+        toks = corpus_token_sets(new_docs, "doc_key", "text").persist()
         new_cnt = new_docs.count()  # fetched is persisted: cheap
         near_docs = near_pairs = 0
         pairs = None
@@ -395,6 +398,10 @@ class CrawlEngine:
                 NEAR_DUP_COUNTERS_TABLE,
             ),
         )
+        # safe to release now: every consumer above has already written
+        # its staged snapshot (the commit only renames log entries)
+        sigs.unpersist()
+        toks.unpersist()
         return (new_cnt, near_docs, near_pairs), pairs
 
     def _tick(self, timings: dict, label: str, t0: float) -> float:
