@@ -120,6 +120,10 @@ def build_parser() -> argparse.ArgumentParser:
     u.add_argument("-maxBucket", type=int, default=64)
     u.add_argument("-maxStages", type=int, default=None,
                    help="bound this invocation to N stages (resume later)")
+    u.add_argument("-force", action="store_true",
+                   help="re-curate a finished warehouse (the crawl "
+                        "appended new results since the last pass); a "
+                        "killed forced pass resumes with a plain curate")
     u.add_argument("-maxConflictRetries", type=int, default=3)
     return p
 
@@ -158,6 +162,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "curate":
         from crawler_core_spark.plans.curate import STAGES, CurationEngine
 
+        if not store.exists("results"):
+            raise SystemExit(
+                f"curate: warehouse {args.warehouse!r} has no results table — "
+                "run a controller/worker crawl first"
+            )
         eng = CurationEngine(
             spark, store,
             quality_threshold=args.qualityThreshold,
@@ -167,10 +176,40 @@ def main(argv: list[str] | None = None) -> int:
             bands=args.bands,
             max_bucket=args.maxBucket,
         )
-        ran = run_with_conflict_retries(
-            eng, args.maxConflictRetries,
-            max_stages=args.maxStages, verbose=True,
-        )
+        # conflict retry with force demotion: once the forced pass has
+        # committed its first stage, retries must RESUME it (plain run —
+        # stages_done is pass-aware), not restart from quality; only a
+        # conflict before any commit keeps the force flag alive.
+        from crawler_core_spark.storage import CommitConflictError
+
+        force = bool(args.force)
+        fruitless = 0
+        while True:
+            try:
+                ran = eng.run(
+                    max_stages=args.maxStages, verbose=True, force=force
+                )
+                break
+            except CommitConflictError as e:
+                committed = getattr(e, "batches_committed", 0)
+                if committed > 0:
+                    fruitless = 0
+                    force = False
+                    print(
+                        f"curate: conflict after progress ({committed} "
+                        f"stage(s) committed; counter reset): {e}"
+                    )
+                else:
+                    fruitless += 1
+                    print(
+                        f"curate: commit conflict (fruitless attempt "
+                        f"{fruitless} of {args.maxConflictRetries + 1} "
+                        f"tolerated): {e}"
+                    )
+                if fruitless > args.maxConflictRetries:
+                    raise SystemExit(
+                        "curate: repeated commit conflicts without progress"
+                    )
         done = eng.stages_done()
         print(
             f"curate: ran {len(ran)} stage(s) this invocation; "

@@ -130,14 +130,20 @@ class CurationEngine:
 
     # -------------------------------------------------------------- state
     def stages_done(self) -> list[str]:
-        """Stages already committed (from the commit log's meta — the
-        same resume source the crawl loop uses for clock/batch_id)."""
-        done = []
+        """Stages committed in the CURRENT curation pass (from the commit
+        log's meta — the same resume source the crawl loop uses for
+        clock/batch_id).  A completed pass ends with 'survivors'; the
+        next stage commit after that starts a new pass (re-curation), so
+        a killed ``force=True`` pass resumes like any other: the list
+        resets to the new pass's stages and a plain run() finishes it."""
+        cur: list[str] = []
         for e in self.store.log():
             meta = e.get("meta") or {}
             if meta.get("kind") == "curation" and meta.get("cur_stage"):
-                done.append(meta["cur_stage"])
-        return done
+                if cur and cur[-1] == "survivors":
+                    cur = []  # new pass began after a completed one
+                cur.append(meta["cur_stage"])
+        return cur
 
     def _lineage_out(self, stage: str) -> int:
         rows = (
@@ -147,7 +153,9 @@ class CurationEngine:
         )
         if not rows:
             raise ValueError(f"stage {stage!r} committed no lineage row")
-        return int(rows[-1]["rows_out"])
+        # re-curation appends a second row per stage and snapshot read
+        # order is NOT commit order — the monotone seq disambiguates
+        return int(max(rows, key=lambda r: r["seq"])["rows_out"])
 
     def _commit_stage(
         self, stage: str, staged: dict, rows_in: int, rows_out: int, base: int
@@ -156,8 +164,8 @@ class CurationEngine:
             "append",
             self.store.stage(
                 self.spark.createDataFrame(
-                    [(stage, int(rows_in), int(rows_out))],
-                    "stage: string, rows_in: long, rows_out: long",
+                    [(stage, int(rows_in), int(rows_out), int(base))],
+                    "stage: string, rows_in: long, rows_out: long, seq: long",
                 ),
                 LINEAGE_TABLE,
             ),
@@ -319,10 +327,20 @@ class CurationEngine:
         )
 
     # ----------------------------------------------------------------- run
-    def run(self, max_stages: int | None = None, verbose: bool = False) -> list[str]:
+    def run(
+        self,
+        max_stages: int | None = None,
+        verbose: bool = False,
+        force: bool = False,
+    ) -> list[str]:
         """Execute the not-yet-committed stages in order; returns the
         stage names run.  ``max_stages`` bounds this invocation (the
-        kill-and-resume test's interruption point)."""
+        kill-and-resume test's interruption point).  ``force=True``
+        re-curates a finished warehouse (the crawl appended new results
+        since the last pass): every stage re-runs — safe because stage
+        outputs are replace-mode snapshots (the phash edges append rides
+        the near stage's fresh replace) and lineage rows carry a monotone
+        seq so readers always see the latest pass."""
         from crawler_core_spark.storage import CommitConflictError
 
         fns = {
@@ -333,7 +351,7 @@ class CurationEngine:
             "components": self._stage_components,
             "survivors": self._stage_survivors,
         }
-        done = set(self.stages_done())
+        done = set() if force else set(self.stages_done())
         ran: list[str] = []
         for stage in STAGES:
             if stage in done:

@@ -189,7 +189,14 @@ def parse_rules_udf(user_agent: str = "*", default_delay: float = DEFAULT_CRAWL_
             [
                 [
                     {"path_prefix": p, "allow": a, "crawl_delay": d}
-                    for p, a, d in _rows_for_text(t, user_agent, default_delay)
+                    for p, a, d in _rows_for_text(
+                        # nulls can surface as float NaN depending on the
+                        # batch's pandas dtype — treat any non-str as
+                        # no-robots-file, never .splitlines() a float
+                        t if isinstance(t, str) else None,
+                        user_agent,
+                        default_delay,
+                    )
                 ]
                 for t in texts
             ]

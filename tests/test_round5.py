@@ -912,3 +912,75 @@ def test_connected_components_stats_and_chain_round_bound(spark):
     assert max(stats["edges_per_round"]) <= 2 * n, stats["edges_per_round"]
     # converged star forest: one root, n member edges
     assert stats["edges_per_round"][-1] == n
+
+
+def _extend_curation_warehouse(spark, store):
+    """Second bulk scan into the same warehouse: 6 new hosts, one of
+    whose captions near-dups the existing {0,1,2} text cluster."""
+    import pandas as pd
+
+    from crawler_core_spark import synth
+    from crawler_core_spark.plans.crawl import CrawlEngine
+    from crawler_core_spark.sources.denylist import load_denylist
+    from crawler_core_spark.sources.dns import dns_table
+    from crawler_core_spark.sources.targets import target_file_df
+
+    rows = [synth.make_image_row(i) for i in range(12, 18)]
+    caps = {
+        12: CLUSTER_BASE + " delta",  # joins the {0,1,2} cluster
+        13: "astronaut repairs solar panel outside orbital station module",
+        14: "farmers harvest golden wheat under towering cumulus clouds",
+        15: "street musician plays violin beneath glowing neon signage",
+        16: "divers photograph coral reef teeming with tropical fish",
+        17: "archivist carefully restores medieval manuscript with delicate tools",
+    }
+    for i, r in zip(range(12, 18), rows):
+        r["caption"] = caps[i]
+    hosts = [synth.host_for_image(i) for i in range(12, 18)]
+    eng = CrawlEngine(spark, store, spark.createDataFrame(pd.DataFrame(rows)))
+    eng.publish(
+        target_file_df(spark, lines=hosts),
+        dns_table(spark, {h: synth.ip_for_image(i) for i, h in enumerate(hosts, 12)}),
+        load_denylist(spark, lines=[]),
+        spark.createDataFrame([("*", "/", True, 1.0)], synth.ROBOTS_SCHEMA),
+        "bs-cur2",
+    )
+    eng.run()
+
+
+def test_curate_force_recurates_after_new_results(spark, tmp_path):
+    """A finished warehouse re-curates with force=True after the crawl
+    appended new results: plain run() is a no-op, the forced pass
+    rebuilds every stage over the enlarged corpus, a KILLED forced pass
+    resumes with a plain run (pass-aware stages_done), and lineage
+    lookups stay well-defined across passes (monotone seq)."""
+    from crawler_core_spark.plans.curate import (
+        LINEAGE_TABLE,
+        STAGES,
+        SURVIVORS_TABLE,
+        CurationEngine,
+    )
+
+    store = _curation_warehouse(spark, str(tmp_path / "curf"))
+    eng = CurationEngine(spark, store, **CURATE_KW)
+    assert eng.run() == STAGES  # pass 1
+
+    _extend_curation_warehouse(spark, store)
+    assert eng.run() == []  # plain run: pass 1 complete, no-op
+
+    # forced pass 2, killed after 2 stages -> PLAIN run resumes it
+    assert eng.run(force=True, max_stages=2) == STAGES[:2]
+    assert eng.stages_done() == STAGES[:2]  # pass-aware: new pass underway
+    assert eng.run() == STAGES[2:]
+
+    got = sorted(map(tuple, store.read(SURVIVORS_TABLE).collect()))
+    assert got == _one_shot_survivors(spark, store)
+    # 18 fetched docs, 1 quality-gated, 1 exact-dropped; clusters
+    # {0,1,2,12} and {5,6} collapse -> 12 survivors, one of size 4
+    assert len(got) == 12
+    assert sorted(r[1] for r in got) == [1] * 10 + [2, 4]
+
+    # lineage: two rows per stage now; the seq-max row is pass 2's
+    lin = store.read(LINEAGE_TABLE).filter(F.col("stage") == "quality").collect()
+    assert len(lin) == 2
+    assert eng._lineage_out("quality") == 17  # 18 docs, doc 7 gated
