@@ -46,6 +46,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "no live DNS in this engine")
     c.add_argument("-robots", default=None,
                    help="robots rules parquet (host, path_prefix, allow, crawl_delay)")
+    c.add_argument("-robotsTxt", default=None,
+                   help="parquet of RAW robots.txt bodies (host, robots_txt) "
+                        "— parsed distributed via sources/robots.py; "
+                        "mutually exclusive with -robots")
+    c.add_argument("-userAgent", default="*",
+                   help="crawler user-agent for robots.txt group selection "
+                        "(only with -robotsTxt)")
     c.add_argument("-portToBeScanned", type=int, default=443)
     c.add_argument("-scanDetail", default="NORMAL")
     c.add_argument("-timeout", type=float, default=840_000.0,
@@ -250,11 +257,18 @@ def main(argv: list[str] | None = None) -> int:
         denylist = load_denylist(
             spark, path=args.denylist
         ) if args.denylist else load_denylist(spark, lines=[])
-        robots = (
-            spark.read.parquet(args.robots)
-            if args.robots
-            else spark.createDataFrame([("*", "/", True, 1.0)], ROBOTS_SCHEMA)
-        )
+        if args.robots and args.robotsTxt:
+            raise SystemExit("controller: pass -robots OR -robotsTxt, not both")
+        if args.robotsTxt:
+            from crawler_core_spark.sources.robots import robots_rules_from_texts
+
+            robots = robots_rules_from_texts(
+                spark.read.parquet(args.robotsTxt), user_agent=args.userAgent
+            )
+        elif args.robots:
+            robots = spark.read.parquet(args.robots)
+        else:
+            robots = spark.createDataFrame([("*", "/", True, 1.0)], ROBOTS_SCHEMA)
         cfg = ScanConfig(
             scanner_detail=args.scanDetail,
             reexecutions=args.reexecutions,

@@ -984,3 +984,55 @@ def test_curate_force_recurates_after_new_results(spark, tmp_path):
     lin = store.read(LINEAGE_TABLE).filter(F.col("stage") == "quality").collect()
     assert len(lin) == 2
     assert eng._lineage_out("quality") == 17  # 18 docs, doc 7 gated
+
+
+def test_cli_controller_with_robots_txt_bodies(spark, tmp_path):
+    """-robotsTxt: the controller parses RAW robots.txt bodies into rules
+    distributed (sources/robots.py) and enforces them at publish — the
+    full user path from fetched robots files to ROBOTS_BLOCKED rows."""
+    from crawler_core_spark import synth
+    from crawler_core_spark.cli import main
+    from crawler_core_spark.sources.dns import dns_table
+    from crawler_core_spark.storage import TableStore
+
+    hosts = [synth.host_for_image(i) for i in range(6)]
+    host_file = tmp_path / "hosts.txt"
+    host_file.write_text("\n".join(hosts) + "\n")
+    img_path = str(tmp_path / "imgs.parquet")
+    spark.createDataFrame(synth.images_pandas(6)).write.parquet(img_path)
+    dns_path = str(tmp_path / "dns.parquet")
+    dns_table(
+        spark, {h: synth.ip_for_image(i) for i, h in enumerate(hosts)}
+    ).write.parquet(dns_path)
+    # hosts 0/1: robots forbids everything for our UA; others allow
+    bodies = spark.createDataFrame(
+        [
+            (hosts[0], "User-agent: graftbot\nDisallow: /"),
+            (hosts[1], "User-agent: *\nDisallow: /\nUser-agent: graftbot\nDisallow: /"),
+            (hosts[2], "User-agent: graftbot\nDisallow:\nCrawl-delay: 1"),
+            (hosts[3], "User-agent: otherbot\nDisallow: /"),  # not our UA
+        ],
+        "host STRING, robots_txt STRING",
+    )
+    rt_path = str(tmp_path / "robots_txt.parquet")
+    bodies.write.parquet(rt_path)
+    wh = str(tmp_path / "wh-rt")
+    rc = main([
+        "controller", "-hostFile", str(host_file), "-warehouse", wh,
+        "-images", img_path, "-dns", dns_path, "-robotsTxt", rt_path,
+        "-userAgent", "graftbot/1.0", "-scanName", "bs-rt",
+        "-urlSeen", "exact", "-reexecutions", "1",
+    ])
+    assert rc == 0
+    store = TableStore(spark, wh)
+    res = {r["hostname"]: r["status"] for r in store.read("results").collect()}
+    assert res[hosts[0]] == "ROBOTS_BLOCKED"
+    assert res[hosts[1]] == "ROBOTS_BLOCKED"
+    for h in hosts[2:]:
+        assert res[h] == "SUCCESS", (h, res[h])
+    # both flags together is an error
+    with pytest.raises(SystemExit, match="not both"):
+        main([
+            "controller", "-hostFile", str(host_file), "-warehouse", wh,
+            "-images", img_path, "-robots", rt_path, "-robotsTxt", rt_path,
+        ])
