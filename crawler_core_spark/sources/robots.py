@@ -77,6 +77,10 @@ def parse_robots_text(
     """
     if not text:
         return [], None
+    # robots.txt bodies in the wild often start with a UTF-8 BOM; without
+    # stripping it the first line's field reads "﻿user-agent" and the
+    # whole leading group silently vanishes (allow-all)
+    text = text.lstrip("﻿")
     groups: list[list] = []  # [agent_tokens, rules, delay]
     cur: list | None = None
     in_ua_run = False

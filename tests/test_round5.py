@@ -204,6 +204,11 @@ class TestRobotsParse:
         assert self._p(None) == ([], None)
         assert self._p("") == ([], None)
 
+    def test_utf8_bom_stripped(self):
+        # a BOM-prefixed first line must not hide the leading UA group
+        rules, delay = self._p("\ufeffUser-agent: testbot\nDisallow: /b\n")
+        assert rules == [("/b", False)]
+
 
 def test_rows_for_text_baseline_semantics():
     from crawler_core_spark.sources.robots import _rows_for_text
