@@ -1041,3 +1041,25 @@ def test_cli_controller_with_robots_txt_bodies(spark, tmp_path):
             "controller", "-hostFile", str(host_file), "-warehouse", wh,
             "-images", img_path, "-robots", rt_path, "-robotsTxt", rt_path,
         ])
+
+
+def test_cli_curate_force_flag(spark, tmp_path):
+    """`curate -force` re-runs all six stages on a finished warehouse."""
+    from crawler_core_spark.cli import main
+    from crawler_core_spark.plans.curate import STAGES, CurationEngine
+    from crawler_core_spark.storage import TableStore
+
+    root = str(tmp_path / "curcf")
+    _curation_warehouse(spark, root)
+    args = [
+        "curate", "-warehouse", root,
+        "-qualityThreshold", "0.08", "-maxHamming", "0",
+    ]
+    assert main(args) == 0
+    store = TableStore(spark, root)
+    n_commits_after_pass1 = store.commit_count()
+    assert main(args) == 0  # plain rerun: no-op
+    assert store.commit_count() == n_commits_after_pass1
+    assert main(args + ["-force"]) == 0  # forced pass 2: all 6 stages again
+    assert store.commit_count() == n_commits_after_pass1 + len(STAGES)
+    assert CurationEngine(spark, store).stages_done() == STAGES
