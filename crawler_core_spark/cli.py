@@ -191,14 +191,20 @@ def main(argv: list[str] | None = None) -> int:
 
         force = bool(args.force)
         fruitless = 0
+        total_ran = 0  # -maxStages bounds the INVOCATION, not each attempt
         while True:
             try:
-                ran = eng.run(
-                    max_stages=args.maxStages, verbose=True, force=force
+                remaining = (
+                    None
+                    if args.maxStages is None
+                    else max(0, int(args.maxStages) - total_ran)
                 )
+                ran = eng.run(max_stages=remaining, verbose=True, force=force)
+                total_ran += len(ran)
                 break
             except CommitConflictError as e:
                 committed = getattr(e, "batches_committed", 0)
+                total_ran += int(committed)
                 if committed > 0:
                     fruitless = 0
                     force = False
@@ -219,7 +225,7 @@ def main(argv: list[str] | None = None) -> int:
                     )
         done = eng.stages_done()
         print(
-            f"curate: ran {len(ran)} stage(s) this invocation; "
+            f"curate: ran {total_ran} stage(s) this invocation; "
             f"{len(set(done))}/{len(STAGES)} committed total"
         )
         return 0

@@ -176,7 +176,16 @@ def incremental_minhash_dedup(
             .filter(F.col("_bn") <= max_bucket)
             .drop("_bn")
         )
-    cand = nb.join(cb, ["band", "band_sig"]).select("new_id", "corpus_id").distinct()
+    cand = (
+        nb.join(cb, ["band", "band_sig"])
+        # a new doc whose id ALREADY EXISTS in the corpus is the same
+        # document re-observed (e.g. a multi-scan crawl re-fetching a
+        # url_key) — not a near-dup pair; without this a re-crawl flags
+        # (K, K) jaccard 1.0 against itself (review r5)
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
     if new_tokens is None:
         new_tokens = corpus_token_sets(new_docs, id_col, text_col)
     tn = new_tokens.select(

@@ -351,11 +351,18 @@ class CrawlEngine:
             F.col("url_key").alias("doc_key"),
             F.col("result_caption").alias("text"),
         )
-        # terminal SUCCESS url_keys are unique across the crawl (URL-seen
-        # + in-batch dedup), so corpus_sigs stays unique by doc_key.
-        # persist both projections: each is consumed twice (inside the
-        # probe's candidate/verify plans AND by its own corpus-table
-        # stage write) — without the cache the batch minhash runs twice.
+        # terminal SUCCESS url_keys are unique WITHIN a scan (URL-seen +
+        # in-batch dedup), but a later scan run against the same warehouse
+        # (per-scan URL-seen scope, -scanRuns > 1) legitimately re-crawls
+        # a url_key — first-observation-wins for the corpus projections
+        # (the anti-join below), or corpus_sigs grows duplicate doc_keys
+        # and every later probe's verify join-back emits duplicated pairs
+        # (review r5).  The anti-join touches only corpus_sigs's id
+        # column, which the probe's band join scans anyway — no new
+        # asymptotics.  persist both projections: each is consumed twice
+        # (inside the probe's candidate/verify plans AND by its own
+        # corpus-table stage write) — without the cache the batch minhash
+        # runs twice.
         sigs = minhash_signatures(new_docs, "doc_key", "text", cfg["n_hashes"]).persist()
         toks = corpus_token_sets(new_docs, "doc_key", "text").persist()
         new_cnt = new_docs.count()  # fetched is persisted: cheap
@@ -381,11 +388,16 @@ class CrawlEngine:
                     ),
                 )
         if new_cnt:
+            app_sigs, app_toks = sigs, toks
+            if self.store.exists(CORPUS_SIGS_TABLE):
+                seen_keys = self.store.read(CORPUS_SIGS_TABLE).select("doc_key")
+                app_sigs = sigs.join(seen_keys, "doc_key", "left_anti")
+                app_toks = toks.join(seen_keys, "doc_key", "left_anti")
             staged[CORPUS_SIGS_TABLE] = (
-                "append", self.store.stage(sigs, CORPUS_SIGS_TABLE)
+                "append", self.store.stage(app_sigs, CORPUS_SIGS_TABLE)
             )
             staged[CORPUS_TOKENS_TABLE] = (
-                "append", self.store.stage(toks, CORPUS_TOKENS_TABLE)
+                "append", self.store.stage(app_toks, CORPUS_TOKENS_TABLE)
             )
         staged[NEAR_DUP_COUNTERS_TABLE] = (
             "append",

@@ -132,16 +132,21 @@ class CurationEngine:
     def stages_done(self) -> list[str]:
         """Stages committed in the CURRENT curation pass (from the commit
         log's meta — the same resume source the crawl loop uses for
-        clock/batch_id).  A completed pass ends with 'survivors'; the
-        next stage commit after that starts a new pass (re-curation), so
-        a killed ``force=True`` pass resumes like any other: the list
-        resets to the new pass's stages and a plain run() finishes it."""
+        clock/batch_id).  'quality' is always a pass's FIRST commit (plain
+        runs skip it once committed; force re-runs start there), so a new
+        'quality' entry after any other stage marks a new pass and resets
+        the list — whether the previous pass finished or was killed
+        mid-way.  A killed ``force=True`` pass therefore resumes like any
+        other: only the new pass's stages count as done, and a plain
+        run() finishes it against the new pass's fresh outputs (review
+        r5: the old rule reset only after 'survivors', so forcing over an
+        UNFINISHED pass resumed against the stale pass's tables)."""
         cur: list[str] = []
         for e in self.store.log():
             meta = e.get("meta") or {}
             if meta.get("kind") == "curation" and meta.get("cur_stage"):
-                if cur and cur[-1] == "survivors":
-                    cur = []  # new pass began after a completed one
+                if cur and meta["cur_stage"] == STAGES[0]:
+                    cur = []  # a fresh first-stage commit = a new pass
                 cur.append(meta["cur_stage"])
         return cur
 
@@ -185,10 +190,20 @@ class CurationEngine:
 
     # -------------------------------------------------------------- stages
     def _stage_quality(self) -> None:
+        from pyspark.sql import Window
+
         from crawler_core_spark.functions.text import quality_score_col
 
         base = self.store.commit_count()
         obs = Observation()
+        # doc identity is URL-keyed, and multi-scan crawls (-scanRuns > 1
+        # with per-scan URL-seen scopes) legitimately append several
+        # SUCCESS rows per url_canon — latest-result-wins (O2, the
+        # results-table tie-break order) BEFORE curation, or a re-crawled
+        # doc enters every downstream stage twice (review r5)
+        w = Window.partitionBy("doc_key").orderBy(
+            F.desc("ts"), F.desc("batch_id"), F.desc("crawl_pos")
+        )
         docs = (
             self.store.read(self.results_table)
             .filter(
@@ -202,8 +217,12 @@ class CurationEngine:
                 F.xxhash64(F.col("url_canon")).alias("doc_key"),
                 F.col("result_caption").alias("text"),
                 F.col("result_phash").alias("phash"),
+                "ts", "batch_id", "crawl_pos",
             )
             .observe(obs, F.count(F.lit(1)).alias("n_in"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("doc_key", "text", "phash")
             .withColumn("quality", F.round(quality_score_col("text"), 6))
             .filter(F.col("quality") >= self.quality_threshold)
         )

@@ -22,12 +22,15 @@ Semantics follow RFC 9309 (Robots Exclusion Protocol) plus the de-facto
 - ``Disallow:`` with an empty value is allow-all (no rule emitted); empty
   ``Allow:`` is likewise a no-op.
 - ``Crawl-delay: <float>`` applies group-wide; invalid values are ignored.
-- Path patterns are reduced to their literal prefix before the first
-  wildcard (``*``) or end-anchor (``$``): a trailing ``*`` is EXACTLY
-  equivalent under prefix semantics; a mid-pattern ``*`` or a ``$`` anchor
-  becomes a conservative SUPERSET prefix (blocks/allows at least as much —
-  the safe direction for a polite crawler).  A pattern that reduces to ""
-  is dropped.
+- Path patterns are reduced to literal prefixes, in the SAFE direction for
+  each rule kind.  ``Disallow``: clip at the first ``*``/``$`` — a superset
+  prefix that blocks at least as much (over-blocking is the polite
+  failure).  ``Allow``: a trailing ``*`` run (optionally ``$``-terminated)
+  is exactly prefix semantics and is clipped; any OTHER wildcard/anchor
+  (``/private*.html$``, ``/a.html$``) is DROPPED — a clipped superset
+  prefix would out-rank an explicit equal-length Disallow downstream and
+  over-ALLOW (the unsafe direction), so we under-allow instead.  A pattern
+  that reduces to "" is dropped.
 - Longest-prefix precedence between Allow and Disallow is the DOWNSTREAM
   matcher's job (``robots_match`` ranks by prefix length, allow winning
   exact-length ties — Google's least-restrictive tie-break); the parser
@@ -60,8 +63,24 @@ _RULE_STRUCT = "array<struct<path_prefix:string, allow:boolean, crawl_delay:doub
 
 
 def _clip_pattern(value: str) -> str:
-    """Literal prefix before the first ``*`` or ``$`` (see module doc)."""
+    """Literal prefix before the first ``*`` or ``$`` (see module doc).
+    Safe for Disallow only: the prefix MATCHES A SUPERSET of the pattern."""
     return value.split("*", 1)[0].split("$", 1)[0]
+
+
+def _safe_allow_prefix(value: str) -> str | None:
+    """Allow-side reduction (see module doc): the prefix must match a
+    SUBSET of the pattern or the rule is dropped (returns None) — a
+    superset Allow prefix can defeat an explicit Disallow downstream."""
+    v = value
+    if v.endswith("$"):
+        v = v[:-1]
+        if not v.endswith("*"):
+            return None  # exact-match anchor: prefix form would over-allow
+    v = v.rstrip("*")
+    if "*" in v or "$" in v:
+        return None  # interior wildcard/anchor: not expressible as a prefix
+    return v
 
 
 def parse_robots_text(
@@ -75,8 +94,17 @@ def parse_robots_text(
     robots.txt means allow-all at default politeness, which is exactly
     what zero rules gives the downstream matcher.
     """
+    rules, delay, _ = _parse(text, user_agent)
+    return rules, delay
+
+
+def _parse(
+    text: str | None, user_agent: str = "*"
+) -> tuple[list[tuple[str, bool]], float | None, bool]:
+    """Single-pass parse also reporting whether ANY group matched the UA
+    (an empty selected group is distinguishable from no group at all)."""
     if not text:
-        return [], None
+        return [], None, False
     # robots.txt bodies in the wild often start with a UTF-8 BOM; without
     # stripping it the first line's field reads "﻿user-agent" and the
     # whole leading group silently vanishes (allow-all)
@@ -108,7 +136,10 @@ def parse_robots_text(
         if field in ("allow", "disallow"):
             if not value:
                 continue  # empty Disallow == allow-all; empty Allow no-op
-            prefix = _clip_pattern(value)
+            if field == "allow":
+                prefix = _safe_allow_prefix(value)
+            else:
+                prefix = _clip_pattern(value)
             if prefix:
                 cur[1].append((prefix, field == "allow"))
         elif field == "crawl-delay":
@@ -139,7 +170,7 @@ def parse_robots_text(
         rules.extend(g[1])
         if delay is None:
             delay = g[2]
-    return rules, delay
+    return rules, delay, bool(selected)
 
 
 def _rows_for_text(
@@ -148,39 +179,16 @@ def _rows_for_text(
     """(path_prefix, allow, crawl_delay) rows incl. the "" baseline row.
     No selected group (no file / no matching UA section) -> NO rows: the
     downstream matcher's coalesce already yields allow-all at the global
-    default, and emitting nothing keeps absent-robots hosts free."""
-    rules, delay = parse_robots_text(text, user_agent)
-    if not rules and delay is None:
-        if not text:
-            return []
-        # a matching group may still exist with zero emitted rules (e.g.
-        # only "Disallow:" allow-all lines) — re-check group selection so
-        # such a group still pins the baseline at the default delay
-        if not _group_selected(text, user_agent):
-            return []
+    default, and emitting nothing keeps absent-robots hosts free.  A
+    matching group with ZERO emitted rules (e.g. only "Disallow:"
+    allow-all lines) still pins the baseline at the default delay."""
+    rules, delay, group_selected = _parse(text, user_agent)
+    if not group_selected:
+        return []
     d = default_delay if delay is None else delay
     out = [(p, a, d) for p, a in rules]
     out.append(("", True, d))
     return out
-
-
-def _group_selected(text: str, user_agent: str) -> bool:
-    """Whether ANY group matches ``user_agent`` (even an empty one)."""
-    # cheap re-parse against a sentinel: parse returns ([], None) both for
-    # "no group" and "empty group" — disambiguate by checking raw tokens
-    ua = user_agent.lower()
-    for raw in text.splitlines():
-        line = raw.split("#", 1)[0].strip()
-        if not line:
-            continue
-        field, sep, value = line.partition(":")
-        if not sep:
-            continue
-        if field.strip().lower() == "user-agent":
-            tok = value.strip().lower()
-            if tok and (tok == "*" or tok in ua):
-                return True
-    return False
 
 
 def parse_rules_udf(user_agent: str = "*", default_delay: float = DEFAULT_CRAWL_DELAY):

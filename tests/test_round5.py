@@ -209,6 +209,24 @@ class TestRobotsParse:
         rules, delay = self._p("\ufeffUser-agent: testbot\nDisallow: /b\n")
         assert rules == [("/b", False)]
 
+    def test_allow_wildcard_never_widens(self):
+        # review r5: clipping 'Allow: /private*.html$' to '/private' would
+        # TIE the explicit 'Disallow: /private' downstream and allow wins
+        # ties -> the crawler would fetch /private/secret.txt.  Wildcarded
+        # Allows that aren't pure-prefix must be DROPPED (under-allow).
+        rules, _ = self._p(
+            "User-agent: testbot\nDisallow: /private\n"
+            "Allow: /private*.html$\nAllow: /a$\nAllow: /b*c\n"
+        )
+        assert rules == [("/private", False)]
+
+    def test_allow_trailing_star_and_star_dollar_still_clip(self):
+        # trailing '*' (and '*$') IS exact prefix semantics \u2014 keep those
+        rules, _ = self._p(
+            "User-agent: testbot\nAllow: /pub*\nAllow: /p2*$\nAllow: /p3**\n"
+        )
+        assert rules == [("/pub", True), ("/p2", True), ("/p3", True)]
+
 
 def test_rows_for_text_baseline_semantics():
     from crawler_core_spark.sources.robots import _rows_for_text
@@ -229,6 +247,12 @@ def test_rows_for_text_baseline_semantics():
     assert _rows_for_text(
         "User-agent: testbot\nDisallow: /p\nCrawl-delay: 2\n", "testbot", 1.0
     ) == [("/p", False, 2.0), ("", True, 2.0)]
+    # review r5: BOM-prefixed file whose only matching group is EMPTY —
+    # the old second parser (_group_selected) skipped the BOM strip and
+    # mis-read it as "no group", dropping the baseline row
+    assert _rows_for_text("﻿User-agent: testbot\nDisallow:\n", "testbot", 1.0) == [
+        ("", True, 1.0)
+    ]
 
 
 def test_robots_rules_from_texts_distributed(spark):

@@ -1,0 +1,179 @@
+"""Round-5 second-half review fixes (the per-round review pass over the
+round's own diff): multi-scan re-crawl safety for the incremental
+near-dup corpus, latest-result-wins at the curation quality gate,
+pass-aware force resume over a KILLED pass, and the CLI -maxStages
+budget holding across conflict retries."""
+
+from test_round5 import _near_dup_inputs
+
+
+def _results_df(spark, rows):
+    """Minimal results-table rows for CurationEngine (the columns the
+    quality stage reads)."""
+    return spark.createDataFrame(
+        rows,
+        "status: string, url_canon: string, result_caption: string, "
+        "result_phash: long, ts: double, batch_id: int, crawl_pos: long",
+    )
+
+
+GOOD = (
+    "quick brown fox jumps over lazy dog near riverbank during sunny "
+    "morning walk today"
+)
+
+
+def test_multi_scan_recrawl_corpus_unique_no_self_pairs(spark, tmp_path):
+    """Review r5: a second scan run against the same warehouse (per-scan
+    URL-seen scope, the -scanRuns path) re-crawls every url_key.  The
+    corpus projections must stay unique by doc_key (first-observation-
+    wins) and the probe must never flag a re-crawled doc against ITSELF
+    — before the fix corpus_sigs doubled and (K, K) jaccard-1.0 pairs
+    appeared, double-counting every later batch's output."""
+    from crawler_core_spark.plans.crawl import (
+        CORPUS_SIGS_TABLE,
+        CORPUS_TOKENS_TABLE,
+        NEAR_DUPS_TABLE,
+        CrawlEngine,
+    )
+    from crawler_core_spark.storage import TableStore
+
+    targets, dns, dl, robots, images = _near_dup_inputs(spark)
+    store = TableStore(spark, str(tmp_path / "mswh"))
+    eng = CrawlEngine(spark, store, images, batch_period=2.0,
+                      near_dup_captions=True)
+    eng.publish(targets, dns, dl, robots, "bs-s1")
+    eng.run()
+    n1 = store.read(CORPUS_SIGS_TABLE).count()
+    pairs1 = store.read(NEAR_DUPS_TABLE).count()
+
+    # scan 2: fresh URL-seen scope, same warehouse -> full re-crawl
+    eng2 = CrawlEngine(
+        spark, store, images, batch_period=2.0, near_dup_captions=True,
+        url_seen_kw={"table": "url_seen_scan2"},
+    )
+    eng2.publish(targets, dns, dl, robots, "bs-s2")
+    eng2.run()
+
+    sigs = store.read(CORPUS_SIGS_TABLE)
+    assert sigs.count() == n1, "re-crawled doc_keys must not re-append"
+    assert sigs.select("doc_key").distinct().count() == n1
+    assert store.read(CORPUS_TOKENS_TABLE).count() == n1
+    pairs = store.read(NEAR_DUPS_TABLE).collect()
+    assert all(r["new_key"] != r["corpus_key"] for r in pairs), pairs
+    # scan 2's re-crawls ARE near-dups of the OTHER hosts' identical
+    # captions already in the corpus — those cross pairs still flag
+    assert len(pairs) > pairs1
+
+
+def test_curate_quality_latest_wins_on_multi_scan_results(spark, tmp_path):
+    """Review r5: multi-scan crawls append several SUCCESS rows per
+    url_canon; the quality stage must apply latest-result-wins (O2) or
+    one doc enters every downstream stage twice (and survivors'
+    n_members double-count)."""
+    from crawler_core_spark.plans.curate import (
+        DOCS_TABLE,
+        STAGES,
+        SURVIVORS_TABLE,
+        CurationEngine,
+    )
+    from crawler_core_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "lwwh"))
+    store.write(
+        _results_df(spark, [
+            # url A crawled twice across scans: caption CHANGED — only the
+            # latest (ts=20) text may survive into cur_docs
+            ("SUCCESS", "https://a.example:443/", GOOD + " alpha", 11, 10.0, 0, 1),
+            ("SUCCESS", "https://a.example:443/", GOOD + " beta", 12, 20.0, 1, 2),
+            # url B crawled twice with an identical caption (steady page)
+            ("SUCCESS", "https://b.example:443/", GOOD + " gamma", 13, 10.0, 0, 3),
+            ("SUCCESS", "https://b.example:443/", GOOD + " gamma", 13, 20.0, 1, 4),
+            ("SUCCESS", "https://c.example:443/", "unrelated solitary caption "
+             "about vintage bicycles leaning near downtown brick walls",
+             14, 10.0, 0, 5),
+        ]),
+        "results",
+    )
+    eng = CurationEngine(spark, store, quality_threshold=0.08,
+                         jaccard_threshold=0.8, max_hamming=0)
+    assert eng.run() == STAGES
+
+    docs = {r["text"] for r in store.read(DOCS_TABLE).collect()}
+    assert store.read(DOCS_TABLE).count() == 3  # one row per url
+    assert GOOD + " beta" in docs and GOOD + " alpha" not in docs
+
+    surv = sorted(
+        (r["n_members"]) for r in store.read(SURVIVORS_TABLE).collect()
+    )
+    # beta/gamma near-dup into one cluster of 2; bicycle is a singleton —
+    # with the bug, members double-counted (2 became 4)
+    assert surv == [1, 2]
+
+
+def test_stages_done_resets_when_force_overrides_killed_pass(spark, tmp_path):
+    """Review r5: forcing over an UNFINISHED pass, then dying after the
+    fresh 'quality' commit, must resume the NEW pass from 'exact' — the
+    old survivors-only reset rule resumed at 'phash' against the stale
+    pass's cur_exact/cur_edges."""
+    from crawler_core_spark.plans.curate import STAGES, CurationEngine
+    from crawler_core_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "fkwh"))
+    store.write(
+        _results_df(spark, [
+            ("SUCCESS", "https://a.example:443/", GOOD + " alpha", 11, 1.0, 0, 1),
+            ("SUCCESS", "https://b.example:443/", GOOD + " beta", 12, 1.0, 0, 2),
+        ]),
+        "results",
+    )
+    eng = CurationEngine(spark, store, quality_threshold=0.08,
+                         jaccard_threshold=0.8, max_hamming=0)
+    assert eng.run(max_stages=3) == STAGES[:3]  # pass 1, killed mid-way
+    assert eng.run(force=True, max_stages=1) == STAGES[:1]  # forced, killed
+    # pass-aware resume: only the forced pass's quality counts as done
+    assert eng.stages_done() == STAGES[:1]
+    assert eng.run() == STAGES[1:]
+    assert eng.stages_done() == STAGES
+
+
+def test_cli_curate_max_stages_budget_across_conflict_retries(
+    spark, tmp_path, monkeypatch
+):
+    """Review r5: -maxStages bounds the INVOCATION — a conflict-after-
+    progress retry must re-enter run() with the REMAINING budget, not a
+    fresh one (before the fix, `-maxStages 2` could commit 3 stages)."""
+    import crawler_core_spark.plans.curate as curate_mod
+    from crawler_core_spark.cli import main
+    from crawler_core_spark.storage import CommitConflictError, TableStore
+
+    store = TableStore(spark, str(tmp_path / "bwh"))
+    store.write(
+        _results_df(
+            spark,
+            [("SUCCESS", "https://a.example:443/", GOOD, 11, 1.0, 0, 1)],
+        ),
+        "results",
+    )
+    calls = []
+
+    class FakeEngine:
+        def __init__(self, *a, **kw):
+            pass
+
+        def run(self, max_stages=None, verbose=False, force=False):
+            calls.append(max_stages)
+            if len(calls) == 1:
+                # committed one stage, then hit a concurrent writer
+                e = CommitConflictError("intruder")
+                e.batches_committed = 1
+                raise e
+            return ["stage"] * (0 if max_stages is None else max_stages)
+
+        def stages_done(self):
+            return ["quality"]
+
+    monkeypatch.setattr(curate_mod, "CurationEngine", FakeEngine)
+    assert main(["curate", "-warehouse", store.root, "-maxStages", "2"]) == 0
+    # attempt 1 got the full budget; the retry got only the remainder
+    assert calls == [2, 1]
