@@ -392,22 +392,17 @@ CENTROIDS_SCHEMA = (
 )
 
 
-def save_centroids(
-    store, centroids, model_id: str = "ivf-default", table: str = CENTROIDS_TABLE
-) -> int:
-    """Persist a trained IVF model into the snapshot store (the offline
-    half of the train-once / probe-many lifecycle: at 10^10 rows training
-    runs in its own job and every probe job reloads the same cells).
-    Append-log like bulk_scans: re-saves of a model_id are disambiguated
-    by ``saved_ver`` at load, never by row order."""
-    # next ver = max existing saved_ver + 1 (NOT snapshot_count: the
-    # snapshot chain collapses to 1 on `cli compact`, which would hand a
-    # later save a LOWER ver and make load_centroids return stale cells).
-    # The read-max-then-append is guarded by expected_base: two concurrent
-    # trainers would otherwise both claim the same ver, and load_centroids
-    # would collect BOTH snapshots' rows — a doubled, corrupt cell list.
-    # The losing trainer gets CommitConflictError and should retry.
+def _claim_next_ver(store, table: str, model_id: str) -> tuple[int, int]:
+    """Compaction-safe version allocation shared by the model savers:
+    next ver = max existing saved_ver + 1 (NOT snapshot_count: the
+    snapshot chain collapses to 1 on `cli compact`, which would hand a
+    later save a LOWER ver and make loads return stale models).  Returns
+    (ver, base); the caller MUST append with ``expected_base=base`` —
+    two concurrent trainers would otherwise both claim the same ver and
+    a load would collect BOTH snapshots' rows, a doubled corrupt model.
+    The losing trainer gets CommitConflictError and should retry."""
     base = store.commit_count()
+    ver = 0
     if store.exists(table):
         prev = (
             store.read(table)
@@ -416,8 +411,19 @@ def save_centroids(
             .collect()[0][0]
         )
         ver = 0 if prev is None else int(prev) + 1
-    else:
-        ver = 0
+    return ver, base
+
+
+def save_centroids(
+    store, centroids, model_id: str = "ivf-default", table: str = CENTROIDS_TABLE
+) -> int:
+    """Persist a trained IVF model into the snapshot store (the offline
+    half of the train-once / probe-many lifecycle: at 10^10 rows training
+    runs in its own job and every probe job reloads the same cells).
+    Append-log like bulk_scans: re-saves of a model_id are disambiguated
+    by ``saved_ver`` at load, never by row order (versioning contract:
+    ``_claim_next_ver``)."""
+    ver, base = _claim_next_ver(store, table, model_id)
     rows = [
         (model_id, ver, i, [float(v) for v in c]) for i, c in enumerate(centroids)
     ]
@@ -583,12 +589,22 @@ def encode_ivfpq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """The ingest-time projection (neighbor_id, cell, codes): coarse cell
-    assignment + PQ codes, all native expressions.  ``residual=True``
-    codes the IVF residual ``x - c(cell)`` (the codebooks must have been
-    trained with ``residual_centroids`` — IVFADC); the residual is a
-    ``zip_with`` subtract against the row's OWN cell centroid looked up
-    from the literal centroid array, still zero-shuffle, zero-python.
+    """The ingest-time projection (neighbor_id, cell, codes, norm2):
+    coarse cell assignment + PQ codes, all native expressions.
+    ``residual=True`` codes the IVF residual ``x - c(cell)`` (the
+    codebooks must have been trained with ``residual_centroids`` —
+    IVFADC); the residual is a ``zip_with`` subtract against the row's
+    OWN cell centroid looked up from the literal centroid array, still
+    zero-shuffle, zero-python.
+
+    ``norm2`` = |x̃|² of the PQ reconstruction (x̃ = r̃ raw, c + r̃
+    residual), computed HERE because ingest has the row's cell centroid
+    and reconstruction as plain array expressions — linear-size literals.
+    Deriving it at probe time instead needs a per-(cell, code) dot table
+    of n_centroids × n_codes doubles per subvector baked into the plan
+    (~2M literals at 1024 cells × 256 codes × 8 subvectors — a
+    plan-construction hazard, review r5); storing 8 bytes/row at ingest
+    deletes that whole expression family from the probe.
 
     At 10^10 rows this runs once at ingest; ``save_encoded`` persists the
     result so probe jobs never touch the vectors except for rerank."""
@@ -607,16 +623,41 @@ def encode_ivfpq(
         code_input = F.zip_with(
             F.col("_v"), own, lambda a, b: a.cast("double") - b
         )
-    return out.select(
-        "neighbor_id", "cell", pq_codes_col(code_input, codebooks).alias("codes")
+    out = out.select(
+        "neighbor_id", "cell", "_v",
+        pq_codes_col(code_input, codebooks).alias("codes"),
     )
+    norm2 = _pq_recon_norm2(F.col("codes"), codebooks)
+    if residual:
+        # |c + r̃|² = |c|² + 2 c·r̃ + |r̃|²; c and r̃ are both in hand as
+        # array columns, so the cross term is one zip_with dot per row
+        own = F.element_at(_centroid_lits(centroids), F.col("cell") + 1)
+        recon = F.concat(
+            *[
+                F.element_at(
+                    F.array(
+                        *[F.array(*[F.lit(float(v)) for v in code]) for code in cb]
+                    ),
+                    F.element_at(F.col("codes"), s + 1) + 1,
+                )
+                for s, cb in enumerate(codebooks)
+            ]
+        )
+        c2 = F.array(*[F.lit(float(sum(v * v for v in c))) for c in centroids])
+        cross = F.aggregate(
+            F.zip_with(own, recon, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        norm2 = norm2 + F.element_at(c2, F.col("cell") + 1) + 2.0 * cross
+    return out.select("neighbor_id", "cell", "codes", norm2.alias("norm2"))
 
 
 def pq_codes_col(vec, codebooks) -> Column:
     """array<int> of per-subvector nearest-code ids — all native (the
     same argmax-over-literal-centroids expression as IVF cell
     assignment, per subvector slice).  At 10^10 rows this encoder runs
-    once at ingest and the (id, cell, codes) projection — ~n_subvectors
+    once at ingest and the (id, cell, codes, norm2) projection — ~n_subvectors
     bytes of payload — is what the probe join ever shuffles."""
     sub = len(codebooks[0][0])
     cols = []
@@ -666,41 +707,6 @@ def _pq_recon_norm2(codes, codebooks) -> Column:
     return out
 
 
-def _residual_cross_norm2(cell_col, codes, centroids, codebooks) -> Column:
-    """|c|² + 2·(c·r̃) — the centroid contribution to |x̃|² when the codes
-    quantize the RESIDUAL (x̃ = c + r̃, so |x̃|² = |c|² + 2 c·r̃ + |r̃|²).
-    Both terms are literal lookups: |c|² by cell, and c·r̃ from a
-    precomputed per-subvector (cell × code) dot table — n_centroids ×
-    n_codes doubles per subvector baked into the plan, zero per-row
-    vector math."""
-    c2 = F.array(*[F.lit(float(sum(v * v for v in c))) for c in centroids])
-    out = F.element_at(c2, cell_col + 1)
-    sub = len(codebooks[0][0])
-    for s, cb in enumerate(codebooks):
-        tbl = F.array(
-            *[
-                F.array(
-                    *[
-                        F.lit(
-                            2.0
-                            * float(
-                                sum(
-                                    c[s * sub + t] * code[t] for t in range(sub)
-                                )
-                            )
-                        )
-                        for code in cb
-                    ]
-                )
-                for c in centroids
-            ]
-        )
-        out = out + F.element_at(
-            F.element_at(tbl, cell_col + 1), F.element_at(codes, s + 1) + 1
-        )
-    return out
-
-
 def ivfpq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -722,7 +728,7 @@ def ivfpq_topk(
     for exact cosine, and the final top-k is exact over that candidate
     set.
 
-    Scale shape: the probe join carries (neighbor_id, cell, codes) —
+    Scale shape: the probe join carries (neighbor_id, cell, codes, norm2) —
     id + ~n_subvectors bytes per corpus row, NOT the vector; full
     vectors are touched only for ``rerank`` rows per query (the
     join-back is a hash join on id against the corpus, pruned to
@@ -737,7 +743,7 @@ def ivfpq_topk(
 
     Like ``ivf_topk`` this fuses train + encode + probe for the query
     suite; production trains once (``train_centroids`` + ``train_pq`` +
-    ``save_pq``), persists the (id, cell, codes) projection at ingest
+    ``save_pq``), persists the (id, cell, codes, norm2) projection at ingest
     (``save_encoded``), and probes many (``ivfpq_topk_with_models``)."""
     x = sample_matrix(embeddings, sample, id_col, vec_col)
     centroids = train_centroids(embeddings, n_centroids, seed=seed, x=x)
@@ -767,7 +773,7 @@ def _ivfpq_probe(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Probe half shared by the fused and the persisted-model paths:
-    ``enc`` is the (neighbor_id, cell, codes) projection — fresh from
+    ``enc`` is the (neighbor_id, cell, codes, norm2) projection — fresh from
     ``encode_ivfpq`` or reloaded via ``load_encoded``."""
     qs = _cell_dists(F.col("qvec"), centroids)
     ranked = F.sort_array(
@@ -795,23 +801,21 @@ def _ivfpq_probe(
     if rerank is not None:
         # rank by approximate COSINE, not raw dot: the exact metric is
         # cosine and corpus norms vary, so the ADC dot alone misorders
-        # candidates; |x̃| comes from literal per-code norm lookups
-        # (|q| is constant per query — it cannot change the ordering).
-        # The window exchange carries ONLY (query_id, neighbor_id,
-        # approx) — qvec/codes are projected away before the shuffle and
-        # qvec is re-joined from the broadcast query set after the cut
-        # (shipping qvec per candidate row would cost dim x 8 bytes per
-        # candidate — the exact weight the codes-only join eliminates).
-        # Residual mode (IVFADC): x̃ = c + r̃, so dot(q, x̃) = dot(q, c)
-        # [query-side _qc] + ADC(q, r̃), and |x̃|² gains the literal
-        # |c|² + 2 c·r̃ cross terms.
+        # candidates; |x̃|² was computed at ENCODE time and rides the
+        # projection as the 8-byte norm2 column (|q| is constant per
+        # query — it cannot change the ordering).  The window exchange
+        # carries ONLY (query_id, neighbor_id, approx) — qvec/codes are
+        # projected away before the shuffle and qvec is re-joined from
+        # the broadcast query set after the cut (shipping qvec per
+        # candidate row would cost dim x 8 bytes per candidate — the
+        # exact weight the codes-only join eliminates).  Residual mode
+        # (IVFADC): x̃ = c + r̃, so dot(q, x̃) = dot(q, c) [query-side
+        # _qc] + ADC(q, r̃); the |c|² + 2 c·r̃ cross terms are already
+        # inside norm2.
         num = _adc_score(F.col("qvec"), F.col("codes"), codebooks)
-        den2 = _pq_recon_norm2(F.col("codes"), codebooks)
+        den2 = F.col("norm2")
         if residual:
             num = num + F.col("_qc")
-            den2 = den2 + _residual_cross_norm2(
-                F.col("cell"), F.col("codes"), centroids, codebooks
-            )
         approx = num / F.sqrt(F.greatest(den2, F.lit(1e-12)))
         wa = Window.partitionBy("query_id").orderBy(
             F.desc("approx"), F.asc("neighbor_id")
@@ -850,7 +854,7 @@ def _ivfpq_probe(
 # ---------------------------------------------------------------------------
 # PQ model lifecycle (VERDICT r4 #3): train-once / encode-at-ingest /
 # probe-many.  At 10^10 rows the codebooks are fit in an offline job,
-# the (id, cell, codes) projection is written as each ingest batch
+# the (id, cell, codes, norm2) projection is written as each ingest batch
 # commits, and probe jobs read ONLY models + projection — the vector
 # column is touched for rerank rows alone.
 # ---------------------------------------------------------------------------
@@ -875,21 +879,10 @@ def save_pq(
     is pinned to its model generation).  The ``residual`` flag is MODEL
     METADATA — a probe must know whether codes quantize raw vectors or
     IVF residuals, so it round-trips with the codebooks instead of being
-    a caller convention.  Same versioning contract as ``save_centroids``:
-    max(saved_ver)+1 (compaction-safe — snapshot_count resets on
-    ``cli compact``), read-max-then-append guarded by ``expected_base``
-    so two concurrent trainers can't both claim a version."""
-    base = store.commit_count()
-    if store.exists(table):
-        prev = (
-            store.read(table)
-            .filter(F.col("model_id") == model_id)
-            .agg(F.max("saved_ver"))
-            .collect()[0][0]
-        )
-        ver = 0 if prev is None else int(prev) + 1
-    else:
-        ver = 0
+    a caller convention.  Same versioning contract as ``save_centroids``
+    (shared ``_claim_next_ver``): max(saved_ver)+1, compaction-safe,
+    read-max-then-append guarded by ``expected_base``."""
+    ver, base = _claim_next_ver(store, table, model_id)
     rows = [
         (model_id, ver, s, i, [float(v) for v in code], bool(residual))
         for s, cb in enumerate(codebooks)
@@ -938,7 +931,7 @@ def save_encoded(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> int:
-    """Encode-at-ingest: append this batch's (id, cell, codes) projection
+    """Encode-at-ingest: append this batch's (id, cell, codes, norm2) projection
     stamped with (model_id, saved_ver).  Plain append — the version was
     assigned by ``save_pq``, so there is no read-then-write race here
     (unlike the trainers); concurrent ingest batches append disjoint
@@ -956,6 +949,7 @@ def save_encoded(
                         "neighbor_id",
                         "cell",
                         "codes",
+                        "norm2",
                     ),
                     table,
                     partition_by=["cell"],
@@ -980,7 +974,7 @@ def load_encoded(
         if ver is None:
             raise KeyError(f"no encoded rows for model {model_id!r}")
     return t.filter(F.col("saved_ver") == int(ver)).select(
-        "neighbor_id", "cell", "codes"
+        "neighbor_id", "cell", "codes", "norm2"
     )
 
 

@@ -93,14 +93,23 @@ def probe_ratio(corpus_dir: str | None = None, workers=(8, 32)) -> dict:
 def main() -> None:
     arg = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_CORPUS
     if arg == "--synth":
-        rows = _synth_rows()
+        rows, src = _synth_rows(), "synth"
+    elif os.path.isdir(arg):
+        rows, src = _load_rows(arg), arg
+    elif len(sys.argv) > 1:
+        # an EXPLICIT corpus path that doesn't exist must fail loudly —
+        # silently probing synth bytes would record saturation numbers
+        # from the wrong workload with nothing in the output to show it
+        # (review r5); only the built-in default may fall back
+        raise SystemExit(f"saturation_probe: no such corpus dir: {arg}")
     else:
-        rows = _load_rows(arg) if os.path.isdir(arg) else _synth_rows()
+        rows, src = _synth_rows(), "synth (default corpus absent)"
     out = []
     for w in (1, 2, 4, 8, 16, 32):
         rps = _measure(rows, w)
         rec = {
             "workers": w,
+            "rows_src": src,
             "rows_per_sec": round(rps),
             "per_worker_rows_per_sec": round(rps / w),
         }

@@ -177,3 +177,47 @@ def test_cli_curate_max_stages_budget_across_conflict_retries(
     assert main(["curate", "-warehouse", store.root, "-maxStages", "2"]) == 0
     # attempt 1 got the full budget; the retry got only the remainder
     assert calls == [2, 1]
+
+
+def test_encode_ivfpq_norm2_matches_numpy_reconstruction(spark):
+    """Review r5: |x̃|² moved from probe-time literal tables (quadratic
+    n_centroids × n_codes plan size) to an 8-byte norm2 column computed
+    at encode time — pin it against a numpy reconstruction in both raw
+    and residual (IVFADC) modes."""
+    import numpy as np
+
+    from crawler_core_spark.operators.ann import (
+        encode_ivfpq,
+        sample_matrix,
+        train_centroids,
+        train_pq,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 16)) * 3
+    rows = [
+        (i, (centers[i % 4] + rng.standard_normal(16) * 0.3)
+            .astype("float32").tolist())
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    x = sample_matrix(df, 120)
+    cents = train_centroids(df, 4, x=x)
+    for residual in (False, True):
+        cbs = train_pq(
+            df, n_subvectors=4, n_codes=8, x=x,
+            residual_centroids=cents if residual else None,
+        )
+        got = {
+            r["neighbor_id"]: (r["cell"], list(r["codes"]), r["norm2"])
+            for r in encode_ivfpq(df, cents, cbs, residual).collect()
+        }
+        c = np.asarray(cents)
+        for vid, vec in rows[:40]:
+            cell, codes, norm2 = got[vid]
+            recon = np.concatenate(
+                [np.asarray(cbs[s][codes[s]]) for s in range(4)]
+            )
+            if residual:
+                recon = recon + c[cell]
+            assert abs(norm2 - float(recon @ recon)) < 1e-6, (vid, residual)
