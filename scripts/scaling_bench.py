@@ -193,7 +193,21 @@ def main() -> None:
             tput["cluster4x8"] / tput["local32"], 2
         ) if "local32" in tput else None
     if probe is not None:
+        # the legs take minutes; a window that PASSED the gate at probe
+        # time can close before the later legs run (measured: a 1.489x
+        # probe followed by an inverted 32-thread leg).  Probe again
+        # AFTER the legs and only attribute the roll when the window
+        # held across the whole measurement — otherwise the entry is
+        # recorded but marked not-attributable.
+        from saturation_probe import probe_ratio as _pr
+
+        probe_after = _pr()
         out["weather_probe"] = probe
+        out["weather_probe_after"] = probe_after
+        out["window_held"] = bool(
+            min(probe["kernel_ratio"], probe_after["kernel_ratio"])
+            >= _flag("gate-threshold", 1.2)
+        )
     print(json.dumps(out))
 
     _append_baseline("scaling legs (round 5 weather-gated harness)", out)
