@@ -624,7 +624,7 @@ def encode_ivfpq(
             F.col("_v"), own, lambda a, b: a.cast("double") - b
         )
     out = out.select(
-        "neighbor_id", "cell", "_v",
+        "neighbor_id", "cell",
         pq_codes_col(code_input, codebooks).alias("codes"),
     )
     norm2 = _pq_recon_norm2(F.col("codes"), codebooks)
@@ -973,9 +973,23 @@ def load_encoded(
         ver = t.agg(F.max("saved_ver")).collect()[0][0]
         if ver is None:
             raise KeyError(f"no encoded rows for model {model_id!r}")
-    return t.filter(F.col("saved_ver") == int(ver)).select(
+    out = t.filter(F.col("saved_ver") == int(ver)).select(
         "neighbor_id", "cell", "codes", "norm2"
     )
+    # guard the projection contract LOUDLY (the corpus_sigs convention):
+    # rows encoded before norm2 existed surface as NULL through the
+    # union-with-missing-columns read path — den2 would silently collapse
+    # to the 1e-12 floor and the rerank degrade to raw-dot ordering.
+    # Cheap at scale: the IsNull predicate pushes down to parquet
+    # null-count stats, so files with no NULLs cost only their footers.
+    sample = out.filter(F.col("norm2").isNull()).limit(1).collect()
+    if sample:
+        raise ValueError(
+            f"encoded projection for model {model_id!r} ver {ver} has rows "
+            "with no norm2 (written by an older encoder) — re-encode with "
+            "save_encoded before probing"
+        )
+    return out
 
 
 def ivfpq_topk_with_models(

@@ -11,13 +11,16 @@ from pyspark.sql import functions as F
 from crawler_core_spark.functions.image import psnr_udf
 
 
-def latest_result_per_job(results: DataFrame) -> DataFrame:
+def latest_result_per_job(results: DataFrame, key: str = "job_id") -> DataFrame:
     """O2 — most-recent-result-wins, mirroring
     ``persistence/MongoPersistenceProvider.java:362-370`` (sort timestamp
     desc, limit 1 per job) / ``dummy/DummyPersistenceProvider.java:53-59``.
-    Tie-break on batch_id then crawl_pos for a total order."""
+    Tie-break on batch_id then crawl_pos for a total order.  ``key`` is
+    the identity column (job_id for results/partials; curation passes its
+    url-derived doc_key) — ONE implementation of the O2 tie-break order
+    so every latest-wins view stays in sync."""
     order = [F.desc(c) for c in ("ts", "batch_id", "crawl_pos") if c in results.columns]
-    w = Window.partitionBy("job_id").orderBy(*order)
+    w = Window.partitionBy(key).orderBy(*order)
     return (
         results.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -357,12 +357,17 @@ class CrawlEngine:
         # a url_key — first-observation-wins for the corpus projections
         # (the anti-join below), or corpus_sigs grows duplicate doc_keys
         # and every later probe's verify join-back emits duplicated pairs
-        # (review r5).  The anti-join touches only corpus_sigs's id
-        # column, which the probe's band join scans anyway — no new
-        # asymptotics.  persist both projections: each is consumed twice
-        # (inside the probe's candidate/verify plans AND by its own
-        # corpus-table stage write) — without the cache the batch minhash
-        # runs twice.
+        # (review r5).  First-wins is the CONTRACT, not a shortcut: the
+        # projections represent content ALREADY INGESTED into the corpus
+        # (results keep every observation), so a re-crawl whose caption
+        # changed still dedups new docs against what the corpus actually
+        # holds; curation separately applies latest-result-wins when
+        # choosing which observation to KEEP.  The key scan touches only
+        # corpus_sigs's id column, which the probe's band join scans
+        # anyway — no new asymptotics.  persist both projections: each is
+        # consumed twice (inside the probe's candidate/verify plans AND
+        # by its own corpus-table stage write) — without the cache the
+        # batch minhash runs twice.
         sigs = minhash_signatures(new_docs, "doc_key", "text", cfg["n_hashes"]).persist()
         toks = corpus_token_sets(new_docs, "doc_key", "text").persist()
         new_cnt = new_docs.count()  # fetched is persisted: cheap
@@ -387,12 +392,26 @@ class CrawlEngine:
                         NEAR_DUPS_TABLE,
                     ),
                 )
+        dup_keys = None
         if new_cnt:
             app_sigs, app_toks = sigs, toks
             if self.store.exists(CORPUS_SIGS_TABLE):
-                seen_keys = self.store.read(CORPUS_SIGS_TABLE).select("doc_key")
-                app_sigs = sigs.join(seen_keys, "doc_key", "left_anti")
-                app_toks = toks.join(seen_keys, "doc_key", "left_anti")
+                # re-crawled key set computed ONCE (semi-join of the corpus
+                # ids against the broadcast batch — one corpus-column scan,
+                # batch-sized result), then broadcast into both anti-joins:
+                # two independent left_antis would each scan the corpus ids
+                dup_keys = (
+                    self.store.read(CORPUS_SIGS_TABLE)
+                    .select("doc_key")
+                    .join(
+                        F.broadcast(sigs.select("doc_key")),
+                        "doc_key",
+                        "left_semi",
+                    )
+                    .persist()
+                )
+                app_sigs = sigs.join(F.broadcast(dup_keys), "doc_key", "left_anti")
+                app_toks = toks.join(F.broadcast(dup_keys), "doc_key", "left_anti")
             staged[CORPUS_SIGS_TABLE] = (
                 "append", self.store.stage(app_sigs, CORPUS_SIGS_TABLE)
             )
@@ -414,6 +433,8 @@ class CrawlEngine:
         # its staged snapshot (the commit only renames log entries)
         sigs.unpersist()
         toks.unpersist()
+        if dup_keys is not None:
+            dup_keys.unpersist()
         return (new_cnt, near_docs, near_pairs), pairs
 
     def _tick(self, timings: dict, label: str, t0: float) -> float:

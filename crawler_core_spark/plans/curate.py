@@ -190,21 +190,17 @@ class CurationEngine:
 
     # -------------------------------------------------------------- stages
     def _stage_quality(self) -> None:
-        from pyspark.sql import Window
-
         from crawler_core_spark.functions.text import quality_score_col
+        from crawler_core_spark.operators.results import latest_result_per_job
 
         base = self.store.commit_count()
         obs = Observation()
         # doc identity is URL-keyed, and multi-scan crawls (-scanRuns > 1
         # with per-scan URL-seen scopes) legitimately append several
-        # SUCCESS rows per url_canon — latest-result-wins (O2, the
-        # results-table tie-break order) BEFORE curation, or a re-crawled
+        # SUCCESS rows per url_canon — latest-result-wins (the canonical
+        # O2 operator, keyed by doc_key) BEFORE curation, or a re-crawled
         # doc enters every downstream stage twice (review r5)
-        w = Window.partitionBy("doc_key").orderBy(
-            F.desc("ts"), F.desc("batch_id"), F.desc("crawl_pos")
-        )
-        docs = (
+        docs = latest_result_per_job(
             self.store.read(self.results_table)
             .filter(
                 (F.col("status") == "SUCCESS")
@@ -219,13 +215,11 @@ class CurationEngine:
                 F.col("result_phash").alias("phash"),
                 "ts", "batch_id", "crawl_pos",
             )
-            .observe(obs, F.count(F.lit(1)).alias("n_in"))
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("doc_key", "text", "phash")
-            .withColumn("quality", F.round(quality_score_col("text"), 6))
-            .filter(F.col("quality") >= self.quality_threshold)
-        )
+            .observe(obs, F.count(F.lit(1)).alias("n_in")),
+            key="doc_key",
+        ).select("doc_key", "text", "phash").withColumn(
+            "quality", F.round(quality_score_col("text"), 6)
+        ).filter(F.col("quality") >= self.quality_threshold)
         rel = self.store.stage(docs, DOCS_TABLE)
         self._commit_stage(
             "quality",

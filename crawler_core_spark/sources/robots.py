@@ -195,8 +195,10 @@ def parse_rules_udf(user_agent: str = "*", default_delay: float = DEFAULT_CRAWL_
     """Vectorized parser: STRING robots body -> array<struct<path_prefix,
     allow, crawl_delay>> (Arrow-batched; one python call per batch)."""
 
+    # NOT named _parse: the module-level parser has that name, and a
+    # future call to _parse inside this scope must not hit the UDF
     @pandas_udf(_RULE_STRUCT)
-    def _parse(texts: pd.Series) -> pd.Series:
+    def _parse_batch(texts: pd.Series) -> pd.Series:
         return pd.Series(
             [
                 [
@@ -214,7 +216,7 @@ def parse_rules_udf(user_agent: str = "*", default_delay: float = DEFAULT_CRAWL_
             ]
         )
 
-    return _parse
+    return _parse_batch
 
 
 def robots_rules_from_texts(

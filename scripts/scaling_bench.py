@@ -198,15 +198,14 @@ def main() -> None:
         # probe followed by an inverted 32-thread leg).  Probe again
         # AFTER the legs and only attribute the roll when the window
         # held across the whole measurement — otherwise the entry is
-        # recorded but marked not-attributable.
-        from saturation_probe import probe_ratio as _pr
-
-        probe_after = _pr()
+        # recorded but marked not-attributable.  probe_ratio and
+        # threshold are the gate block's own bindings — window_held MUST
+        # be judged against the same threshold the gate used.
+        probe_after = probe_ratio()
         out["weather_probe"] = probe
         out["weather_probe_after"] = probe_after
         out["window_held"] = bool(
-            min(probe["kernel_ratio"], probe_after["kernel_ratio"])
-            >= _flag("gate-threshold", 1.2)
+            min(probe["kernel_ratio"], probe_after["kernel_ratio"]) >= threshold
         )
     print(json.dumps(out))
 

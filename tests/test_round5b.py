@@ -221,3 +221,43 @@ def test_encode_ivfpq_norm2_matches_numpy_reconstruction(spark):
             if residual:
                 recon = recon + c[cell]
             assert abs(norm2 - float(recon @ recon)) < 1e-6, (vid, residual)
+
+
+def test_load_encoded_rejects_pre_norm2_rows(spark, tmp_path):
+    """Review r5 pass 2: encoded-projection rows written before norm2
+    existed surface as NULL through the union-with-missing-columns read
+    path — den2 would silently collapse to the 1e-12 floor and the
+    rerank degrade to raw-dot ordering.  load_encoded must refuse."""
+    import numpy as np
+    import pytest
+
+    from crawler_core_spark.operators.ann import (
+        load_encoded,
+        sample_matrix,
+        save_encoded,
+        train_centroids,
+        train_pq,
+    )
+    from crawler_core_spark.storage import TableStore
+
+    store = TableStore(spark, str(tmp_path / "encwh"))
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(8).astype("float32").tolist())
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    x = sample_matrix(df, 40)
+    cents = train_centroids(df, 2, x=x)
+    cbs = train_pq(df, n_subvectors=2, n_codes=4, x=x)
+
+    # an "old writer" appended rows with no norm2 column
+    store.write(
+        spark.createDataFrame(
+            [("m", 0, 999, 0, [0, 1])],
+            "model_id: string, saved_ver: long, neighbor_id: long, "
+            "cell: int, codes: array<int>",
+        ),
+        "ann_pq_encoded",
+    )
+    save_encoded(store, df, cents, cbs, model_id="m", ver=0)
+    with pytest.raises(ValueError, match="norm2"):
+        load_encoded(store, "m", 0)
