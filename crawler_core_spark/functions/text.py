@@ -34,6 +34,33 @@ def token_count_col(text: str | Column = "text") -> Column:
     return F.size(tokens_col(text)).cast("long")
 
 
+# GPT-2-style BPE PRE-tokenizer (ASCII form), the second token counter the
+# pipeline mandate lists beside whitespace: contraction suffixes, space-
+# prefixed letter runs / digit runs / punctuation runs, whitespace runs.
+# Deliberately lookahead-free and ASCII-classed so the SAME pattern runs
+# identically in Spark (java.util.regex), DuckDB (RE2) and python re —
+# the oracle gate depends on that three-way agreement.  The real GPT-2
+# pattern's \p{L}/\p{N} classes and trailing-space lookahead are the
+# documented deltas (lookahead is unsupported in RE2).
+BPE_PRETOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9']+|'| ?\s+"
+)
+
+
+def bpe_pretokens_col(text: str | Column = "text") -> Column:
+    """array<string> of BPE-ish pre-tokens — native regexp_extract_all
+    (JVM, codegen); group idx 0 = the whole match (the pattern has only
+    non-capturing groups, and Spark's default idx is 1)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_RE), F.lit(0))
+
+
+def bpe_token_count_col(text: str | Column = "text") -> Column:
+    """Pre-token count — the standard proxy for BPE token budget when
+    estimating LLM training-corpus size from a crawl."""
+    return F.size(bpe_pretokens_col(text)).cast("long")
+
+
 def count_tokens_in(tokens: Column, words: tuple[str, ...]) -> Column:
     """# tokens ∈ words — native higher-order filter, no UDF."""
     return F.size(F.filter(tokens, lambda t: t.isin(*words))).cast("long")

@@ -547,6 +547,43 @@ FROM m
 """
 
 
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (functions/text.py:BPE_PRETOKEN_RE) beside
+    the whitespace count — the token-budget estimate an LLM-training
+    pipeline runs over a crawl corpus.  Fully native regexp_extract_all;
+    the DuckDB oracle runs the IDENTICAL pattern (RE2 ≡ java.util.regex
+    on this lookahead-free ASCII-classed grammar)."""
+    from crawler_core_spark.functions.text import bpe_token_count_col
+
+    d = load(spark, sf_dir, "documents")
+    n_ws = token_count_col("text")
+    n_bpe = bpe_token_count_col("text")
+    return d.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(
+            F.when(n_ws > 0, n_bpe.cast("double") / n_ws).otherwise(0.0), 6
+        ).alias("bpe_per_word"),
+    )
+
+
+SQL_DOC_BPE_TOKENS = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws,
+         CAST(len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9'']+|''| ?\\s+'
+         )) AS BIGINT) AS n_bpe
+  FROM documents
+)
+SELECT doc_id, n_ws AS n_ws_tokens, n_bpe AS n_bpe_tokens,
+       round(CASE WHEN n_ws > 0 THEN CAST(n_bpe AS DOUBLE) / n_ws
+             ELSE 0.0 END, 6) AS bpe_per_word
+FROM t
+"""
+
+
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic over marker stopwords (deterministic tie-break)."""
     d = load(spark, sf_dir, "documents")
@@ -708,6 +745,7 @@ QUERIES = {
     "progress_ema": q_progress_ema,
     "events_tumbling": q_events_tumbling,
     "doc_token_stats": q_doc_token_stats,
+    "doc_bpe_tokens": q_doc_bpe_tokens,
     "doc_lang_id": q_doc_lang_id,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_jaccard_pairs": q_doc_jaccard_pairs,
@@ -731,6 +769,7 @@ ORACLE_SQL = {
     "progress_ema": SQL_PROGRESS_EMA,
     "events_tumbling": SQL_EVENTS_TUMBLING,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
+    "doc_bpe_tokens": SQL_DOC_BPE_TOKENS,
     "doc_lang_id": SQL_DOC_LANG_ID,
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "doc_jaccard_pairs": SQL_DOC_JACCARD_PAIRS,

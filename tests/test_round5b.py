@@ -261,3 +261,39 @@ def test_load_encoded_rejects_pre_norm2_rows(spark, tmp_path):
     save_encoded(store, df, cents, cbs, model_id="m", ver=0)
     with pytest.raises(ValueError, match="norm2"):
         load_encoded(store, "m", 0)
+
+
+def test_bpe_pretoken_count_matches_python_re(spark):
+    """BPE-ish pre-tokenizer: the Spark-native regexp_extract_all result
+    must equal python re.findall on the same pattern (the oracle gate
+    additionally pins DuckDB RE2 agreement at sf0.01)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from crawler_core_spark.functions.text import (
+        BPE_PRETOKEN_RE,
+        bpe_pretokens_col,
+        bpe_token_count_col,
+    )
+
+    texts = [
+        "The quick brown fox's 2 jumps, don't stop!  multiple   spaces",
+        "it's we're I'll you've he'd 100,000.5 ... '' '",
+        "  leading and trailing  ",
+        "",
+        "no-punct words only here",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        "text",
+        bpe_pretokens_col("text").alias("toks"),
+        bpe_token_count_col("text").alias("n"),
+    ).collect()
+    for r in rows:
+        expect = re.findall(BPE_PRETOKEN_RE, r["text"])
+        assert list(r["toks"]) == expect, r["text"]
+        assert r["n"] == len(expect)
+    # the canonical GPT-2 examples: contractions split off, spaces attach
+    one = dict((r["text"], list(r["toks"])) for r in rows)
+    assert one[texts[0]][:5] == ["The", " quick", " brown", " fox", "'s"]
