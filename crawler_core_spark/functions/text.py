@@ -37,13 +37,17 @@ def token_count_col(text: str | Column = "text") -> Column:
 # GPT-2-style BPE PRE-tokenizer (ASCII form), the second token counter the
 # pipeline mandate lists beside whitespace: contraction suffixes, space-
 # prefixed letter runs / digit runs / punctuation runs, whitespace runs.
-# Deliberately lookahead-free and ASCII-classed so the SAME pattern runs
-# identically in Spark (java.util.regex), DuckDB (RE2) and python re —
-# the oracle gate depends on that three-way agreement.  The real GPT-2
-# pattern's \p{L}/\p{N} classes and trailing-space lookahead are the
-# documented deltas (lookahead is unsupported in RE2).
+# Deliberately lookahead-free and EXPLICITLY-classed so the SAME pattern
+# runs identically in Spark (java.util.regex), DuckDB (RE2) and python
+# re — the oracle gate depends on that three-way agreement.  NO \s: the
+# three engines disagree on its members (Java includes \x0B, RE2 does
+# not, python re is Unicode-aware and adds e.g. U+00A0 — review r5 pass
+# 3, confirmed by execution), so the whitespace class is spelled out.
+# The real GPT-2 pattern's \p{L}/\p{N} classes and trailing-space
+# lookahead are the documented deltas (lookahead is unsupported in RE2).
 BPE_PRETOKEN_RE = (
-    r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9']+|'| ?\s+"
+    r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+"
+    r"| ?[^ \t\n\r\fa-zA-Z0-9']+|'| ?[ \t\n\r\f]+"
 )
 
 

@@ -966,8 +966,10 @@ def load_encoded(
     table: str = ENCODED_TABLE,
 ) -> DataFrame:
     """The persisted projection for (model_id, ver) — ver=None loads the
-    newest generation present.  Lazy DataFrame, no driver fetch; the
-    model_id/saved_ver filters prune on parquet stats."""
+    newest generation present.  Runs up to two bounded validation jobs
+    (max(saved_ver) when ver=None, plus the norm2 NULL probe below);
+    the returned DataFrame itself is lazy and the model_id/saved_ver
+    filters prune on parquet stats."""
     t = store.read(table).filter(F.col("model_id") == model_id)
     if ver is None:
         ver = t.agg(F.max("saved_ver")).collect()[0][0]

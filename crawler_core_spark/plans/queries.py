@@ -573,7 +573,7 @@ WITH t AS (
   SELECT doc_id,
          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws,
          CAST(len(regexp_extract_all(text,
-           '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9'']+|''| ?\\s+'
+           '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^ \\t\\n\\r\\fa-zA-Z0-9'']+|''| ?[ \\t\\n\\r\\f]+'
          )) AS BIGINT) AS n_bpe
   FROM documents
 )

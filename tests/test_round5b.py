@@ -283,6 +283,11 @@ def test_bpe_pretoken_count_matches_python_re(spark):
         "  leading and trailing  ",
         "",
         "no-punct words only here",
+        # review r5 pass 3: \s is NOT engine-identical (Java counts \x0B
+        # as whitespace, RE2 does not; python re adds U+00A0) — the
+        # explicit class must tokenize these identically in all three
+        "a\x0b\x0b.b",
+        "a\xa0\xa0.b",
     ]
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     rows = df.select(
