@@ -24,10 +24,17 @@ LANG_MARKERS = {
 }
 
 
+# explicit whitespace class, NOT \s: Java regex counts \x0B as
+# whitespace where DuckDB's RE2 does not, so an oracle twin over a
+# document containing one would value-mismatch (same engine-identity
+# rule as BPE_PRETOKEN_RE below)
+WS_RE = r"[ \t\n\r\f]+"
+
+
 def tokens_col(text: str | Column = "text") -> Column:
     """Whitespace tokenization; native split (JVM-side)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.trim(c), r"\s+")
+    return F.split(F.trim(c), WS_RE)
 
 
 def token_count_col(text: str | Column = "text") -> Column:

@@ -531,7 +531,7 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DOC_TOKEN_STATS = """
 WITH t AS (
   SELECT doc_id,
-         string_split_regex(trim(text), '\\s+') AS toks
+         string_split_regex(trim(text), '[ \\t\\n\\r\\f]+') AS toks
   FROM documents
 ), m AS (
   SELECT doc_id,
@@ -571,7 +571,7 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DOC_BPE_TOKENS = """
 WITH t AS (
   SELECT doc_id,
-         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws,
+         CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS BIGINT) AS n_ws,
          CAST(len(regexp_extract_all(text,
            '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^ \\t\\n\\r\\fa-zA-Z0-9'']+|''| ?[ \\t\\n\\r\\f]+'
          )) AS BIGINT) AS n_bpe
@@ -592,7 +592,7 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DOC_LANG_ID = """
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r\\f]+') AS toks FROM documents
 ), s AS (
   SELECT doc_id,
          len(list_filter(toks, x -> x IN ('the','a','and'))) AS s_en,
@@ -651,7 +651,7 @@ def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DOC_JACCARD_PAIRS = """
 WITH t AS (
-  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS toks
   FROM documents
 )
 SELECT a.doc_id,
@@ -1170,7 +1170,7 @@ ORACLE_SQL["doc_dup_components"] = SQL_DOC_DUP_COMPONENTS
 # the label is the component min).
 SQL_DOC_CURATION = """
 WITH RECURSIVE t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r\\f]+') AS toks
   FROM documents WHERE doc_id < 1000
 ), m AS (
   SELECT doc_id,
@@ -1368,7 +1368,7 @@ def q_doc_minhash_exact_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DOC_MINHASH_EXACT_TWIN = """
 WITH t AS (
-  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS toks
   FROM documents WHERE doc_id < 500
 ), p AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1419,7 +1419,7 @@ def q_doc_incremental_dedup_exact_twin(spark: SparkSession, sf_dir: str) -> Data
 
 SQL_DOC_INCREMENTAL_DEDUP = """
 WITH t AS (
-  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS toks
   FROM documents
 ), p AS (
   SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
@@ -1481,7 +1481,7 @@ def _simhash_twin_sql() -> str:
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS tok
   FROM documents WHERE doc_id < 500
 ), h AS (
   SELECT doc_id, {poly} AS th FROM toks
