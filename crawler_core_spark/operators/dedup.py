@@ -378,3 +378,42 @@ def phash_near_dup(
     excluded up front."""
     fp = images.select(id_col, phash_col).filter(F.col(phash_col).isNotNull())
     return hamming_pairs(fp, id_col, phash_col, max_hamming, max_bucket)
+
+
+def decontaminate_pairs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 5,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Train/test DECONTAMINATION — which corpus docs share winnowing
+    fingerprints with a benchmark/eval set (the pass every LLM training
+    pipeline runs before a corpus ships; Schleimer et al. SIGMOD'03 is
+    the guarantee: any shared substring of length >= window + k - 1
+    yields a shared fingerprint).  Returns (doc_id, bench_id, n_shared)
+    for pairs sharing >= ``min_shared`` distinct fingerprints.
+
+    Scale shape: both sides reduce to (id, fp) 16-byte rows; the
+    benchmark side is broadcast (eval sets are tiny next to a 100 TB
+    corpus) so the fingerprint join never shuffles the corpus — each
+    corpus partition streams against the in-memory benchmark fp table,
+    and only matching (doc, bench) pairs reach the count aggregate."""
+    from crawler_core_spark.functions.text import winnow_fingerprints_pandas_df
+
+    def fps(frame, out_id):
+        return winnow_fingerprints_pandas_df(
+            frame, id_col=id_col, text_col=text_col, k=k, window=window
+        ).select(F.col(id_col).alias(out_id), F.explode("fps").alias("fp"))
+
+    # fps lists are distinct per doc by construction, so count(*) per
+    # pair == count of DISTINCT shared fingerprints
+    return (
+        fps(docs, "doc_id")
+        .join(F.broadcast(fps(benchmark, "bench_id")), "fp")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )

@@ -1545,6 +1545,52 @@ QUERIES["doc_winnow_fingerprint"] = q_doc_winnow_fingerprint
 ORACLE_SQL["doc_winnow_fingerprint"] = SQL_DOC_WINNOW_FINGERPRINT
 
 
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination (operators/dedup.py:decontaminate_pairs):
+    corpus docs (doc_id >= 100) sharing >= 40 winnowing fingerprints with
+    the "benchmark" set (doc_id < 100) — the substring-overlap pass an
+    LLM pipeline runs before a corpus ships.  The benchmark fp side is
+    broadcast, so the corpus is never shuffled; the closed-form winnow
+    hash makes the SQL oracle exact."""
+    from crawler_core_spark.operators.dedup import decontaminate_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return decontaminate_pairs(
+        d.filter(F.col("doc_id") >= 100),
+        d.filter(F.col("doc_id") < 100),
+        min_shared=40,
+    )
+
+
+SQL_DOC_DECONTAMINATE = """
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(text) - 3, 0) + 1),
+           i -> ord(substring(text, CAST(i AS INTEGER), 1)) * 16974593
+              + ord(substring(text, CAST(i + 1 AS INTEGER), 1)) * 66049
+              + ord(substring(text, CAST(i + 2 AS INTEGER), 1)) * 257
+              + ord(substring(text, CAST(i + 3 AS INTEGER), 1))) AS hs
+  FROM documents
+), wdw AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(hs) - 4, 0) + 1),
+           j -> list_min(hs[CAST(j AS INTEGER):CAST(j + 4 AS INTEGER)]))) AS fps
+  FROM g
+), f AS (
+  SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM wdw
+)
+SELECT d.doc_id AS doc_id, b.doc_id AS bench_id,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM f d JOIN f b ON d.fp = b.fp
+WHERE d.doc_id >= 100 AND b.doc_id < 100
+GROUP BY 1, 2
+HAVING count(*) >= 40
+"""
+
+QUERIES["doc_decontaminate"] = q_doc_decontaminate
+ORACLE_SQL["doc_decontaminate"] = SQL_DOC_DECONTAMINATE
+
+
 def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6 source (r5): REAL robots.txt TEXT -> rules table, distributed
     pandas-UDF parse.  Bodies are synthesized deterministically per host

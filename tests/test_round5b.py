@@ -302,3 +302,35 @@ def test_bpe_pretoken_count_matches_python_re(spark):
     # the canonical GPT-2 examples: contractions split off, spaces attach
     one = dict((r["text"], list(r["toks"])) for r in rows)
     assert one[texts[0]][:5] == ["The", " quick", " brown", " fox", "'s"]
+
+
+def test_decontaminate_pairs_substring_guarantee(spark):
+    """decontaminate_pairs: the winnowing guarantee — a shared substring
+    of length >= window + k - 1 (= 8 at defaults) forces shared
+    fingerprints; unrelated docs share none.  The benchmark fp side must
+    be broadcast (no corpus shuffle for the join)."""
+    from crawler_core_spark.operators.dedup import decontaminate_pairs
+
+    bench = spark.createDataFrame(
+        [(0, "the secret benchmark passage about quantum chromodynamics")],
+        "doc_id: long, text: string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # verbatim contamination: whole benchmark sentence embedded
+            (100, "prefix text the secret benchmark passage about quantum "
+                  "chromodynamics and a suffix"),
+            # clean doc, no 8-char substring overlap
+            (101, "zebras wander across moonlit plateaus, yawning"),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = decontaminate_pairs(docs, bench, min_shared=3).collect()
+    assert [(r["doc_id"], r["bench_id"]) for r in got] == [(100, 0)]
+    assert got[0]["n_shared"] >= 3
+    # clean doc flagged at NO threshold
+    none = decontaminate_pairs(docs, bench, min_shared=1).collect()
+    assert {r["doc_id"] for r in none} == {100}
+    # scale shape: benchmark side broadcast
+    plan = decontaminate_pairs(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
